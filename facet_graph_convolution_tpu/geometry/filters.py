@@ -1,0 +1,173 @@
+"""Classical mesh-processing baselines and debug helpers.
+
+Parity targets: ``bilateralFilter`` (utils.py:2345-2477), ``FND``
+(utils.py:2480-2496), ``computeCurvature`` (utils.py:1839-1892),
+``customKMeans`` (utils.py:1895-1929), ``filterFlippedFaces``
+(utils.py:2257-2296), ``getGraphDist`` (utils.py:2142-2174), ``makeFacesMesh``
+(utils.py:2177-2252).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from facet_graph_convolution_tpu.geometry.mesh_math import normalize_rows
+
+
+def bilateral_filter_normals(
+    centers: np.ndarray,
+    normals: np.ndarray,
+    areas: np.ndarray,
+    sigma_s: float,
+    sigma_r: float,
+) -> np.ndarray:
+    """Bilateral facet-normal filter (Wang et al.; reference
+    ``bilateralFilter``, utils.py:2345-2477).
+
+    ``w_ij = A_j · exp(−|c_i−c_j|²/2σ_s²) · exp(−|n_i−n_j|²/2σ_r²)``,
+    filtered normal = normalize(Σ_j w_ij n_j). ``sigma_r == -1`` disables the
+    range term (utils.py:2447-2448). Neighbour search uses a KD-tree with a
+    3σ_s cutoff instead of the reference's 10³ grid partition — the Gaussian
+    weight at 3σ is <1.2% so results agree to visualization precision while
+    staying exact for all practically-weighted pairs.
+    """
+    from scipy.spatial import cKDTree
+
+    centers = np.asarray(centers, np.float64)
+    normals = np.asarray(normals, np.float64)
+    areas = np.asarray(areas, np.float64)
+    tree = cKDTree(centers)
+    radius = 3.0 * sigma_s
+    out = np.zeros_like(normals)
+    pairs = tree.query_ball_point(centers, r=radius)
+    for i, nbrs in enumerate(pairs):
+        nbrs = np.asarray(nbrs)
+        d2 = np.sum((centers[nbrs] - centers[i]) ** 2, axis=-1)
+        w = areas[nbrs] * np.exp(-d2 / (2.0 * sigma_s**2))
+        if sigma_r != -1:
+            nd2 = np.sum((normals[nbrs] - normals[i]) ** 2, axis=-1)
+            w = w * np.exp(-nd2 / (2.0 * sigma_r**2))
+        out[i] = (w[:, None] * normals[nbrs]).sum(axis=0)
+    return normalize_rows(out.astype(np.float32))
+
+
+def fnd_descriptors(
+    centers: np.ndarray,
+    normals: np.ndarray,
+    areas: np.ndarray,
+    sigma_s_list: Sequence[float],
+    sigma_r_list: Sequence[float],
+) -> np.ndarray:
+    """Filtered-normal descriptors: concatenated bilateral filters over a
+    (σ_s, σ_r) grid (reference ``FND``, utils.py:2480-2496)."""
+    feats = [
+        bilateral_filter_normals(centers, normals, areas, s, r)
+        for s in sigma_s_list
+        for r in sigma_r_list
+    ]
+    return np.concatenate(feats, axis=-1)
+
+
+def face_curvature_stats(
+    centers: np.ndarray, normals: np.ndarray, adj: np.ndarray
+) -> np.ndarray:
+    """Per-face (min, max, mean) of ⟨n_i, c_j − c_i⟩ over neighbours
+    (reference ``computeCurvature``, utils.py:1839-1892). ``adj`` is the
+    one-indexed K-list with slot 0 = self."""
+    adj_n = adj[:, 1:].astype(np.int64) - 1
+    nbr_pos = centers[adj_n]                                   # [N, K-1, 3]
+    fvec = nbr_pos - centers[:, None, :]
+    dot = np.sum(normals[:, None, :] * fvec, axis=-1)          # [N, K-1]
+    valid = adj_n != -1
+    dot = np.where(valid, dot, 0.0)
+    wsum = np.maximum(valid.sum(axis=1, keepdims=True), 1)
+    return np.concatenate(
+        [
+            dot.min(axis=1, keepdims=True),
+            dot.max(axis=1, keepdims=True),
+            dot.sum(axis=1, keepdims=True) / wsum,
+        ],
+        axis=1,
+    ).astype(np.float32)
+
+
+def kmeans(
+    points: np.ndarray,
+    k: int,
+    iternum: int = 500,
+    repeats: int = 10,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """K-means with random restarts keeping the best mean distance
+    (reference ``customKMeans``, utils.py:1895-1929)."""
+    rng = rng or np.random.default_rng()
+    best = None
+    for _ in range(repeats):
+        centroids = points[rng.permutation(points.shape[0])[:k]].copy()
+        for _ in range(iternum):
+            d = np.linalg.norm(points[None, :, :] - centroids[:, None, :], axis=-1)
+            closest = np.argmin(d, axis=0)
+            mean_dist = float(np.mean(np.min(d, axis=0)))
+            for c in range(k):
+                sel = points[closest == c]
+                if sel.shape[0]:
+                    centroids[c] = sel.mean(axis=0)
+        if best is None or mean_dist < best[2]:
+            best = (centroids, closest, mean_dist)
+    return best[0], best[1]
+
+
+def filter_flipped_faces(face_normals: np.ndarray, adj: np.ndarray) -> np.ndarray:
+    """Zero out normals of faces whose minimum neighbour dot product is below
+    −0.5 — likely flipped GT faces (reference ``filterFlippedFaces``,
+    utils.py:2257-2296)."""
+    face_normals = np.array(face_normals, copy=True)
+    adj_n = adj[:, 1:].astype(np.int64) - 1
+    nbr = face_normals[adj_n]
+    dot = np.sum(face_normals[:, None, :] * nbr, axis=-1)
+    dot = np.where(adj_n != -1, dot, 1.0)
+    face_normals[dot.min(axis=-1) < -0.5] = 0.0
+    return face_normals
+
+
+def graph_distance(adj: np.ndarray, src: int, dst: int) -> int:
+    """BFS hop distance between two nodes of a K-list graph (reference
+    ``getGraphDist``, utils.py:2142-2174). ``adj`` one-indexed is accepted in
+    the reference's zero-indexed calling convention: here neighbours are
+    ``adj[:,1:] - 1`` entries ≥ 0."""
+    n = adj.shape[0]
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[src] = 0
+    q = deque([src])
+    while q:
+        cur = q.popleft()
+        for nbr in adj[cur, 1:]:
+            nbr = int(nbr) - 1
+            if nbr < 0:
+                continue
+            if nbr == dst:
+                return int(dist[cur]) + 1
+            if dist[nbr] == -1:
+                dist[nbr] = dist[cur] + 1
+                q.append(nbr)
+    return -1
+
+
+def faces_debug_mesh(
+    adj: np.ndarray, centers: np.ndarray, normals: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Visualize the facet graph itself as a mesh: one sliver triangle per
+    graph edge, vertices colored by normal (reference ``makeFacesMesh``,
+    utils.py:2177-2252, "fast AND light" variant)."""
+    n = adj.shape[0]
+    vl = np.tile(np.concatenate([centers, normals], axis=-1), (2, 1))
+    adj0 = adj.astype(np.int64) - 1
+    rows, cols = np.nonzero(adj0[:, 1:] >= 0)
+    neigh = adj0[rows, cols + 1]
+    keep = neigh > rows
+    rows, neigh = rows[keep], neigh[keep]
+    fl = np.stack([rows, neigh, rows + n], axis=1).astype(np.int32)
+    return vl, fl

@@ -1,0 +1,100 @@
+"""K-list ↔ sparse-COO adjacency conversion (vectorized).
+
+Parity targets: ``listToSparse`` (utils.py:1718-1750), ``listToSparseWNormals``
+(utils.py:1753-1796), ``sparseToList`` (utils.py:1799-1827), ``inv_perm``
+(utils.py:1830-1835).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import scipy.sparse
+
+
+def _klist_edges(adj: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Directed edges (row, col) from a one-indexed K-list, skipping slot 0
+    (self) and stopping at the first 0 pad per row like the reference's
+    ``break`` (utils.py:1770-1773). K-lists are filled contiguously so a pad
+    mask is equivalent."""
+    n, k = adj.shape
+    neigh = adj[:, 1:].astype(np.int64) - 1
+    valid = neigh >= 0
+    rows = np.broadcast_to(np.arange(n)[:, None], neigh.shape)[valid]
+    cols = neigh[valid]
+    return rows, cols
+
+
+def klist_degrees(adj: np.ndarray) -> np.ndarray:
+    """True neighbour count per node (non-zero entries, incl. self slot —
+    matches ``tf.count_nonzero(adj, 2)`` in the conv, model.py:436)."""
+    return np.count_nonzero(adj, axis=-1)
+
+
+def klist_to_coo(adj: np.ndarray, positions: np.ndarray) -> scipy.sparse.coo_matrix:
+    """Position-weighted conversion: ``w_ij = 1/(1000·|c_i − c_j|)``
+    (reference ``listToSparse``, utils.py:1718-1750)."""
+    n = adj.shape[0]
+    rows, cols = _klist_edges(adj)
+    d = np.linalg.norm(positions[cols] - positions[rows], axis=-1)
+    values = (1.0 / (1000.0 * d)).astype(np.float32)
+    return scipy.sparse.coo_matrix((values, (rows, cols)), shape=(n, n))
+
+
+def klist_to_coo_normal_weighted(
+    adj: np.ndarray, positions: np.ndarray, normals: np.ndarray,
+    sigma: float = 0.001,
+) -> scipy.sparse.coo_matrix:
+    """Normal+position weighted conversion used before coarsening:
+    ``w_ij = max(⟨n_i, n_j⟩ · exp(−|c_i−c_j|²/(2σ²)), 0.001)`` with σ=0.001
+    (reference ``listToSparseWNormals``, utils.py:1753-1796)."""
+    n = adj.shape[0]
+    rows, cols = _klist_edges(adj)
+    dp = np.sum(normals[rows] * normals[cols], axis=-1)
+    d2 = np.sum((positions[cols] - positions[rows]) ** 2, axis=-1)
+    values = np.maximum(dp * np.exp(-d2 / (2.0 * sigma * sigma)), 0.001)
+    return scipy.sparse.coo_matrix(
+        (values.astype(np.float32), (rows, cols)), shape=(n, n)
+    )
+
+
+def coo_to_klist(adj: scipy.sparse.spmatrix, k: int) -> Tuple[np.ndarray, bool]:
+    """Sparse matrix → one-indexed K-list with slot 0 = self; returns
+    ``(klist, has_saturated)`` where saturation means some node had ≥ K
+    neighbours and entries were dropped (reference ``sparseToList``,
+    utils.py:1799-1827).
+
+    Entry order follows the reference: COO storage order (row-major with
+    ascending columns after CSR round-trip), diagonal skipped.
+    """
+    n = adj.shape[0]
+    out = np.zeros((n, k), dtype=np.int32)
+    out[:, 0] = np.arange(n, dtype=np.int32) + 1
+    coo = adj.tocoo()
+    rows, cols = coo.row.astype(np.int64), coo.col.astype(np.int64)
+    off = rows != cols
+    rows, cols = rows[off], cols[off]
+    order = np.argsort(rows, kind="stable")
+    rows, cols = rows[order], cols[order]
+    if rows.size == 0:
+        return out, False
+    new = np.ones(rows.shape[0], dtype=bool)
+    new[1:] = rows[1:] != rows[:-1]
+    starts = np.flatnonzero(new)
+    rank = np.arange(rows.shape[0]) - np.repeat(
+        starts, np.diff(np.append(starts, rows.shape[0]))
+    )
+    keep = rank < (k - 1)
+    out[rows[keep], rank[keep] + 1] = cols[keep] + 1
+    return out, bool(np.any(~keep))
+
+
+def invert_permutation(perm: np.ndarray) -> np.ndarray:
+    """Inverse permutation, sized to cover max(len, max+1) like the reference
+    ``inv_perm`` (utils.py:1830-1835)."""
+    perm = np.asarray(perm, dtype=np.int64)
+    size = max(perm.shape[0], int(perm.max()) + 1) if perm.size else 0
+    inv = np.zeros(size, dtype=np.int64)
+    inv[perm] = np.arange(perm.shape[0])
+    return inv

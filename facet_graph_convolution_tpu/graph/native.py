@@ -1,0 +1,125 @@
+"""ctypes bindings to the C++ graph kernels (``native/graphlib.cpp``).
+
+The sequential host hot loops — Graclus matching and BFS patch growth — are
+implemented in C++ for preprocessing throughput; the NumPy implementations in
+:mod:`coarsen` / :mod:`patching` remain as fallback and correctness oracle.
+
+The shared library is built on demand with ``g++ -O3`` into
+``native/build/``; set ``FGC_DISABLE_NATIVE=1`` to force the NumPy paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_LOCK = threading.Lock()
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load() -> ctypes.CDLL:
+    global _LIB
+    if os.environ.get("FGC_DISABLE_NATIVE"):
+        raise ImportError("native disabled via FGC_DISABLE_NATIVE")
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        root = _repo_root()
+        src = os.path.join(root, "native", "graphlib.cpp")
+        build_dir = os.path.join(root, "native", "build")
+        lib_path = os.path.join(build_dir, "libgraph.so")
+        if not os.path.exists(src):
+            raise ImportError("native source not found")
+        if (not os.path.exists(lib_path)) or (
+            os.path.getmtime(lib_path) < os.path.getmtime(src)
+        ):
+            os.makedirs(build_dir, exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+                 src, "-o", lib_path],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(lib_path)
+
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+        lib.match_one_level.restype = ctypes.c_double
+        lib.match_one_level.argtypes = [
+            i64p, i64p, f64p, ctypes.c_int64,          # rr, cc, vv, nnz
+            i64p, f64p, ctypes.c_int64,                # rid, inv_weights, N
+            i32p,                                       # out cluster_id
+        ]
+        lib.grow_patch.restype = ctypes.c_int64
+        lib.grow_patch.argtypes = [
+            i64p, ctypes.c_int64, ctypes.c_int64,      # adj0 (zero-indexed), N, K
+            ctypes.c_int64, ctypes.c_int64,            # seed, nodes_num
+            i8p, ctypes.c_int64,                       # mask, min_size
+            i64p, i64p, i64p, i64p,                    # out_adj, old_idx, scratch new_idx, out_meta
+        ]
+        _LIB = lib
+        return lib
+
+
+def match_one_level_native(
+    rr: np.ndarray,
+    cc: np.ndarray,
+    vv: np.ndarray,
+    rid: np.ndarray,
+    weights: np.ndarray,
+    num_nodes: int,
+) -> Tuple[np.ndarray, float]:
+    lib = _load()
+    rr = np.ascontiguousarray(rr, dtype=np.int64)
+    cc = np.ascontiguousarray(cc, dtype=np.int64)
+    vv = np.ascontiguousarray(vv, dtype=np.float64)
+    rid = np.ascontiguousarray(rid, dtype=np.int64)
+    inv_w = np.zeros(num_nodes, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    nz = w != 0
+    inv_w[nz] = 1.0 / w[nz]
+    cluster_id = np.zeros(num_nodes, dtype=np.int32)
+    assoc = lib.match_one_level(
+        rr, cc, vv, rr.shape[0], rid, inv_w, num_nodes, cluster_id
+    )
+    return cluster_id, float(assoc)
+
+
+def grow_patch_native(
+    adj: np.ndarray,
+    nodes_num: int,
+    seed: int,
+    mask: Optional[np.ndarray],
+    min_size: int,
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    lib = _load()
+    n, k = adj.shape
+    adj0 = np.ascontiguousarray(adj.astype(np.int64) - 1)
+    mask_arr = (
+        np.ascontiguousarray(mask, dtype=np.int8)
+        if mask is not None
+        else np.zeros(n, dtype=np.int8)
+    )
+    out_adj = np.full(((nodes_num + k), k), -1, dtype=np.int64)
+    old_idx = np.full(nodes_num + k, -1, dtype=np.int64)
+    new_idx = np.full(n, -1, dtype=np.int64)
+    meta = np.zeros(2, dtype=np.int64)  # [count, next_seed]
+    count = lib.grow_patch(
+        adj0, n, k, seed, nodes_num, mask_arr, min_size,
+        out_adj, old_idx, new_idx, meta,
+    )
+    count = int(count)
+    result = (out_adj[:count] + 1).astype(np.int32)
+    return result, old_idx[:count].copy(), int(meta[1])

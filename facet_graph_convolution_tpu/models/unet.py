@@ -1,0 +1,135 @@
+"""Three-level multi-scale facet-graph U-Net.
+
+Architecture of the reference ``get_model_reg_multi_scale`` (model.py:837-946):
+
+    L0: Conv(in→32, M=9) → lrelu → pool(4:1)
+    L1: Conv(32→64)      → lrelu → pool(4:1)
+    L2: Conv(64→128)     → lrelu → Conv(128→128) → lrelu       [center]
+        [multi-scale head: Lin(1024) → lrelu → Lin(3)]
+    L1: unpool → Conv(128→64) → concat skip → Conv(128→64) → lrelu
+        [multi-scale head: Lin(1024) → lrelu → Lin(3)]
+    L0: unpool → Conv(64→32) → concat skip → Conv(64→32) → lrelu
+        → Lin(1024) → lrelu → Lin(3)
+
+All convolutions are the translation/rotation-variant default
+(model.py:841-842); leaky-ReLU slope 0.1 (model.py:846); coarsening is 2
+steps per pooling (4:1 node reduction, model.py:847).
+
+Parameters are a plain pytree (nested dicts) so they shard transparently
+under pjit and checkpoint under Orbax.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from facet_graph_convolution_tpu.ops.conv import (
+    FacetConvVariant,
+    facet_conv,
+    init_facet_conv,
+    init_linear,
+    linear,
+)
+from facet_graph_convolution_tpu.ops.normalization import lrelu
+from facet_graph_convolution_tpu.ops.pooling import tree_pool, tree_unpool
+
+
+def init_unet(
+    key: jax.Array,
+    in_channels: int = 6,
+    channels: Sequence[int] = (32, 64, 128),
+    num_filters: int = 9,
+    fc_channels: int = 1024,
+    out_channels: int = 3,
+    multi_scale: bool = False,
+    std_dev: float = 0.05,
+    std_dev_bias: float = 0.01,
+) -> Dict:
+    """Initialize U-Net parameters (reference init: N(0, 0.05) weights,
+    N(0, 0.01) biases, model.py:31-44)."""
+    c0, c1, c2 = channels
+    keys = iter(jax.random.split(key, 16))
+    kw = dict(num_filters=num_filters, std_dev=std_dev, std_dev_bias=std_dev_bias)
+    lw = dict(std_dev=std_dev, std_dev_bias=std_dev_bias)
+    params = {
+        "conv1": init_facet_conv(next(keys), in_channels, c0, **kw),
+        "conv2": init_facet_conv(next(keys), c0, c1, **kw),
+        "conv3": init_facet_conv(next(keys), c1, c2, **kw),
+        "dconv3": init_facet_conv(next(keys), c2, c2, **kw),
+        "upconv2": init_facet_conv(next(keys), c2, c1, **kw),
+        "dconv2": init_facet_conv(next(keys), 2 * c1, c1, **kw),
+        "upconv1": init_facet_conv(next(keys), c1, c0, **kw),
+        "dconv1": init_facet_conv(next(keys), 2 * c0, c0, **kw),
+        "fc1": init_linear(next(keys), c0, fc_channels, **lw),
+        "out0": init_linear(next(keys), fc_channels, out_channels, **lw),
+    }
+    if multi_scale:
+        params["fc_mid"] = init_linear(next(keys), c1, fc_channels, **lw)
+        params["out1"] = init_linear(next(keys), fc_channels, out_channels, **lw)
+        params["fc_coarse"] = init_linear(next(keys), c2, fc_channels, **lw)
+        params["out2"] = init_linear(next(keys), fc_channels, out_channels, **lw)
+    return params
+
+
+def unet_apply(
+    params: Dict,
+    x: jnp.ndarray,
+    adjs: Sequence[jnp.ndarray],
+    coarsening_steps: int = 2,
+    multi_scale: bool = False,
+    alpha: float = 0.1,
+    variant: FacetConvVariant = FacetConvVariant.DEFAULT,
+    compute_dtype=None,
+) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Forward pass. ``x`` [N, C]; ``adjs`` = K-list adjacency per level
+    (fine→coarse), length 1 or 3. With one level the pyramid collapses to the
+    single-scale conv stack (the reference supports this via
+    ``coarseningLvlNum=1``, dataClasses.py:148-150, train.py:487-488)."""
+    conv = lambda name, h, a: facet_conv(
+        params[name], h, a, variant=variant, compute_dtype=compute_dtype
+    )
+
+    if len(adjs) == 1:
+        h = lrelu(conv("conv1", x, adjs[0]), alpha)
+        h = lrelu(conv("dconv1_single", h, adjs[0]), alpha) if "dconv1_single" in params else h
+        h = lrelu(linear(params["fc1"], h), alpha)
+        return linear(params["out0"], h)
+
+    # --- encoder ---
+    h1 = lrelu(conv("conv1", x, adjs[0]), alpha)                 # [N, c0]
+    p1 = tree_pool(h1, steps=coarsening_steps, mode="max")
+    h2 = lrelu(conv("conv2", p1, adjs[1]), alpha)                # [N/4, c1]
+    p2 = tree_pool(h2, steps=coarsening_steps, mode="max")
+    h3 = lrelu(conv("conv3", p2, adjs[2]), alpha)                # [N/16, c2]
+
+    # --- center ---
+    d3 = lrelu(conv("dconv3", h3, adjs[2]), alpha)
+
+    y_coarse = None
+    if multi_scale:
+        hc = lrelu(linear(params["fc_coarse"], d3), alpha)
+        y_coarse = linear(params["out2"], hc)
+
+    # --- decoder ---
+    u2 = tree_unpool(d3, steps=coarsening_steps)
+    u2 = conv("upconv2", u2, adjs[1])                            # [N/4, c1]
+    d2 = lrelu(conv("dconv2", jnp.concatenate([u2, h2], axis=-1), adjs[1]), alpha)
+
+    y_mid = None
+    if multi_scale:
+        hm = lrelu(linear(params["fc_mid"], d2), alpha)
+        y_mid = linear(params["out1"], hm)
+
+    u1 = tree_unpool(d2, steps=coarsening_steps)
+    u1 = conv("upconv1", u1, adjs[0])                            # [N, c0]
+    d1 = lrelu(conv("dconv1", jnp.concatenate([u1, h1], axis=-1), adjs[0]), alpha)
+
+    h = lrelu(linear(params["fc1"], d1), alpha)
+    y_fine = linear(params["out0"], h)
+
+    if multi_scale:
+        return y_fine, y_mid, y_coarse
+    return y_fine

@@ -1,0 +1,287 @@
+"""Facet graph convolution (FeaStNet-style soft-assignment conv).
+
+The hot op of the framework. Semantics of the reference ``custom_conv2d``
+(model.py:427-504):
+
+    y_i = bias + (1/|N(i)|) Σ_{j∈N(i)} Σ_m q_ijm · (W_m x_j)
+
+with per-edge soft assignment over M filters
+
+    q_ij: = softmax_M(u·x_i + v·x_j + c)            (default, model.py:74-95)
+    q_ij: = softmax_M(u·(x_i − x_j) + c)            (translation-invariant,
+                                                     model.py:97-124)
+    q_ij: = softmax_M(u·R_i·x_j + c)                (rotation-invariant,
+                                                     model.py:186-377)
+
+|N(i)| counts the node's non-zero adjacency slots (self included), and the
+bias is only added where |N(i)| > 0 (model.py:436-443,496-500).
+
+TPU-first factorization: since W_m is linear,
+``Σ_j q_ijm (W_m x_j) = W_m (Σ_j q_ijm x_j)`` — we aggregate neighbours in
+input space (gather [N,K,C] + [N,K,M]) and run one batched matmul on the MXU,
+instead of gathering the [N,K,M·out] tensor the reference materializes. The
+direct formulation is kept as :func:`facet_conv_gather` for oracle testing.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from facet_graph_convolution_tpu.ops.gather import gather_neighbors, neighbor_counts
+
+
+class FacetConvVariant(str, enum.Enum):
+    DEFAULT = "default"
+    TRANSLATION_INVARIANT = "translation_invariant"
+    ROTATION_INVARIANT = "rotation_invariant"
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (reference variable factories, model.py:31-44:
+# weights/assignments ~ N(0, 0.05), biases ~ N(0, 0.01)).
+# ---------------------------------------------------------------------------
+
+def init_facet_conv(
+    key: jax.Array,
+    in_channels: int,
+    out_channels: int,
+    num_filters: int,
+    variant: FacetConvVariant = FacetConvVariant.DEFAULT,
+    std_dev: float = 0.05,
+    std_dev_bias: float = 0.01,
+) -> Dict[str, jnp.ndarray]:
+    kw, kb, ku, kv, kc = jax.random.split(key, 5)
+    params = {
+        "w": jax.random.normal(kw, (num_filters, out_channels, in_channels)) * std_dev,
+        "b": jax.random.normal(kb, (out_channels,)) * std_dev_bias,
+        "u": jax.random.normal(ku, (num_filters, in_channels)) * std_dev,
+        "c": jax.random.normal(kc, (num_filters,)) * std_dev,
+    }
+    if variant == FacetConvVariant.DEFAULT:
+        params["v"] = jax.random.normal(kv, (num_filters, in_channels)) * std_dev
+    return params
+
+
+def init_linear(
+    key: jax.Array,
+    in_channels: int,
+    out_channels: int,
+    std_dev: float = 0.05,
+    std_dev_bias: float = 0.01,
+) -> Dict[str, jnp.ndarray]:
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.normal(kw, (in_channels, out_channels)) * std_dev,
+        "b": jax.random.normal(kb, (out_channels,)) * std_dev_bias,
+    }
+
+
+def linear(params: Dict[str, jnp.ndarray], x: jnp.ndarray) -> jnp.ndarray:
+    """Per-node dense layer (reference ``custom_lin``, model.py:763-769)."""
+    return x @ params["w"] + params["b"]
+
+
+# ---------------------------------------------------------------------------
+# Assignment weights
+# ---------------------------------------------------------------------------
+
+def rotation_to_axis(normals: jnp.ndarray) -> jnp.ndarray:
+    """Per-face rotation matrix aligning each normal with +z via the Rodrigues
+    formula (reference ``getRotationToAxis``, model.py:128-183).
+
+    Implements the *intended* math: the reference computes a scalar global
+    ``tf.norm`` for sin (missing ``axis=-1``, model.py:144) on a path that is
+    dead by default; here ``sin²`` is per-face.
+    """
+    ref = jnp.array([0.0, 0.0, 1.0], dtype=normals.dtype)
+    cross = jnp.cross(normals, jnp.broadcast_to(ref, normals.shape))
+    sin2 = jnp.sum(cross * cross, axis=-1)                     # |n × z|²
+    cos = normals[..., 2]
+    # skew-symmetric matrix of the rotation axis
+    zeros = jnp.zeros_like(cos)
+    ssm = jnp.stack(
+        [
+            jnp.stack([zeros, -cross[..., 2], cross[..., 1]], axis=-1),
+            jnp.stack([cross[..., 2], zeros, -cross[..., 0]], axis=-1),
+            jnp.stack([-cross[..., 1], cross[..., 0], zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+    eye = jnp.eye(3, dtype=normals.dtype)
+    # R = I + S + S²·(1−cos)/sin²; guard the antiparallel/parallel limit
+    coef = jnp.where(sin2 > 1e-12, (1.0 - cos) / jnp.maximum(sin2, 1e-12), 0.0)
+    return eye + ssm + ssm @ ssm * coef[..., None, None]
+
+
+def assignment_weights(
+    params: Dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    adj: jnp.ndarray,
+    variant: FacetConvVariant = FacetConvVariant.DEFAULT,
+    split_channels: Optional[int] = None,
+) -> jnp.ndarray:
+    """Per-edge soft assignment q [N, K, M] = softmax over M of the variant's
+    logits. Padded adjacency slots receive logits as if x_j = 0, matching the
+    reference's zero-row gather (model.py:383-385)."""
+    u, c = params["u"], params["c"]
+    if variant == FacetConvVariant.DEFAULT:
+        ux = x @ u.T                                           # [N, M]
+        vx = x @ params["v"].T                                 # [N, M]
+        vx_nbr = gather_neighbors(vx, adj)                     # [N, K, M]
+        logits = ux[:, None, :] + vx_nbr + c
+    elif variant == FacetConvVariant.TRANSLATION_INVARIANT:
+        ux = x @ u.T
+        ux_nbr = gather_neighbors(ux, adj)
+        logits = ux[:, None, :] - ux_nbr + c                   # u·(x_i − x_j)
+    elif variant == FacetConvVariant.ROTATION_INVARIANT:
+        logits = _rotation_invariant_logits(u, c, x, adj)
+    else:
+        raise ValueError(variant)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def _rotation_invariant_logits(u, c, x, adj) -> jnp.ndarray:
+    """Rotation-invariant assignment logits. Channel layouts follow the
+    reference (model.py:452-460): 3 = normals; 4 = normals + area
+    (neighbour area ratio, model.py:282-288); 6 = normals + position
+    (relative, rotated, model.py:310-377)."""
+    in_ch = x.shape[-1]
+    normals = x[:, :3]
+    rot = rotation_to_axis(normals)                            # [N, 3, 3]
+    x_nbr = gather_neighbors(x, adj)                           # [N, K, C]
+    n_nbr = x_nbr[..., :3]
+    n_rot = jnp.einsum("nij,nkj->nki", rot, n_nbr)
+    if in_ch == 3:
+        feats = n_rot
+    elif in_ch == 4:
+        area_ratio = x_nbr[..., 3:] / x[:, None, 3:]
+        feats = jnp.concatenate([n_rot, area_ratio], axis=-1)
+    elif in_ch == 6:
+        rel = x_nbr[..., 3:] - x[:, None, 3:]
+        p_rot = jnp.einsum("nij,nkj->nki", rot, rel)
+        feats = jnp.concatenate([n_rot, p_rot], axis=-1)
+    else:
+        raise ValueError(f"rotation-invariant assignment needs 3/4/6 channels, got {in_ch}")
+    return jnp.einsum("nkc,mc->nkm", feats, u) + c
+
+
+# ---------------------------------------------------------------------------
+# Convolution
+# ---------------------------------------------------------------------------
+
+def _finish_conv(q, x, adj, w, b, bias_mask: bool, compute_dtype=None):
+    """Aggregate-then-transform epilogue shared by all variants."""
+    dtype = compute_dtype or x.dtype
+    deg = neighbor_counts(adj)
+    inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1), 0.0).astype(dtype)
+
+    x_nbr = gather_neighbors(x.astype(dtype), adj)             # [N, K, C]
+    z = jnp.einsum("nkm,nkc->nmc", q.astype(dtype), x_nbr)     # [N, M, C]
+    z = z * inv_deg[:, None, None]
+    y = jnp.einsum(
+        "nmc,moc->no", z, w.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    y = y.astype(jnp.float32)
+    if bias_mask:
+        y = jnp.where((deg > 0)[:, None], y + b, y)
+    else:
+        y = y + b
+    return y
+
+
+def facet_conv(
+    params: Dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    adj: jnp.ndarray,
+    variant: FacetConvVariant = FacetConvVariant.DEFAULT,
+    bias_mask: bool = True,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Facet graph convolution, fast path.
+
+    ``x`` [N, C], ``adj`` [N, K] one-indexed → [N, out]. Matches
+    ``custom_conv2d`` (model.py:427-504) to float tolerance.
+    """
+    q = assignment_weights(params, x, adj, variant)
+    return _finish_conv(q, x, adj, params["w"], params["b"], bias_mask, compute_dtype)
+
+
+def facet_conv_gather(
+    params: Dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    adj: jnp.ndarray,
+    variant: FacetConvVariant = FacetConvVariant.DEFAULT,
+    bias_mask: bool = True,
+) -> jnp.ndarray:
+    """Direct (reference-shaped) formulation: gathers the [N, K, M·out]
+    transformed-neighbour tensor like model.py:466-493. Used as the oracle
+    for :func:`facet_conv` and for benchmarking the factorization win."""
+    w, b = params["w"], params["b"]
+    m, out_ch, in_ch = w.shape
+    q = assignment_weights(params, x, adj, variant)            # [N, K, M]
+    wx = x @ w.reshape(m * out_ch, in_ch).T                    # [N, M·out]
+    wx_nbr = gather_neighbors(wx, adj).reshape(x.shape[0], adj.shape[1], m, out_ch)
+    deg = neighbor_counts(adj)
+    inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1), 0.0)
+    y = jnp.einsum("nkm,nkmo->no", q, wx_nbr) * inv_deg[:, None]
+    if bias_mask:
+        y = jnp.where((deg > 0)[:, None], y + b, y)
+    else:
+        y = y + b
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Position-for-assignment variants (reference model.py:610-760): the last 3
+# channels (position) participate in the assignment only; weights W see the
+# remaining channels. The position block of the assignment is forced
+# translation-invariant via v_pos = −u_pos.
+# ---------------------------------------------------------------------------
+
+def init_facet_conv_pos_assignment(
+    key: jax.Array,
+    in_channels: int,            # total, including trailing 3 position chans
+    out_channels: int,
+    num_filters: int,
+    translation_invariance: bool = False,
+    std_dev: float = 0.05,
+    std_dev_bias: float = 0.01,
+) -> Dict[str, jnp.ndarray]:
+    kw, kb, ku, kv, kc = jax.random.split(key, 5)
+    in_w = in_channels - 3
+    params = {
+        "w": jax.random.normal(kw, (num_filters, out_channels, in_w)) * std_dev,
+        "b": jax.random.normal(kb, (out_channels,)) * std_dev_bias,
+        "u": jax.random.normal(ku, (num_filters, in_channels)) * std_dev,
+        "c": jax.random.normal(kc, (num_filters,)) * std_dev,
+    }
+    if not translation_invariance:
+        params["v_n"] = jax.random.normal(kv, (num_filters, in_w)) * std_dev
+    return params
+
+
+def facet_conv_pos_assignment(
+    params: Dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    adj: jnp.ndarray,
+    bias_mask: bool = True,
+) -> jnp.ndarray:
+    """Reference ``custom_conv2d_pos_for_assignment`` (model.py:610-696)."""
+    u, c = params["u"], params["c"]
+    in_w = u.shape[1] - 3
+    u_n, u_p = u[:, :in_w], u[:, in_w:]
+    v_n = params.get("v_n", -u_n)                              # model.py:639-640
+    v = jnp.concatenate([v_n, -u_p], axis=-1)                  # model.py:656-658
+
+    ux = x @ u.T
+    vx = x @ v.T
+    vx_nbr = gather_neighbors(vx, adj)
+    q = jax.nn.softmax(ux[:, None, :] + vx_nbr + c, axis=-1)
+
+    xn = x[:, :in_w]
+    return _finish_conv(q, xn, adj, params["w"], params["b"], bias_mask)

@@ -1,0 +1,237 @@
+"""Graph layer tests: K-list adjacency, conversions, coarsening, patching."""
+
+import numpy as np
+import pytest
+import scipy.sparse
+
+from facet_graph_convolution_tpu.geometry import (
+    compute_face_normals,
+    triangle_barycenters,
+)
+from facet_graph_convolution_tpu.graph import (
+    binary_tree_permutation,
+    coarsen_graph,
+    coo_to_klist,
+    face_adjacency_klist,
+    graclus_levels,
+    grow_graph_patch,
+    grow_graph_patch_masked,
+    grow_mesh_patch,
+    invert_permutation,
+    klist_to_coo_normal_weighted,
+)
+
+
+def naive_klist(faces, k):
+    """Oracle: direct transcription of the reference algorithm's semantics
+    (utils.py:243-295) as a plain double loop."""
+    fnum = faces.shape[0]
+    fadj = np.zeros((fnum, k), dtype=np.int32)
+    fill = np.ones(fnum, dtype=np.int64)
+    vnum = int(faces.max()) + 1
+    v_adj = [[] for _ in range(vnum)]
+    for f in range(fnum):
+        for v in faces[f]:
+            v_adj[v].append(f)
+    for i in range(fnum):
+        fadj[i, 0] = i + 1
+    for v in range(vnum):
+        inc = v_adj[v]
+        for a in range(len(inc)):
+            for b in range(a + 1, len(inc)):
+                f1, f2 = inc[a], inc[b]
+                if fill[f1] < k:
+                    fadj[f1, fill[f1]] = f2 + 1
+                    fill[f1] += 1
+                if fill[f2] < k:
+                    fadj[f2, fill[f2]] = f1 + 1
+                    fill[f2] += 1
+    return fadj
+
+
+def test_klist_matches_reference_semantics(cube, icosphere):
+    for v, f in (cube, icosphere):
+        for k in (8, 13, 23):
+            ours = face_adjacency_klist(f, k)
+            oracle = naive_klist(np.asarray(f, np.int64), k)
+            np.testing.assert_array_equal(ours, oracle)
+
+
+def test_klist_cube_structure(cube):
+    v, f = cube
+    adj = face_adjacency_klist(f, 23)
+    # vertex-shared neighbours; edge-shared appear twice
+    # each cube face's triangle touches all triangles sharing any corner
+    assert np.all(adj[:, 0] == np.arange(12) + 1)
+    # cube triangle 0 = [0,2,1]: shares vertices with many faces; its
+    # edge-partner 1 (=[0,3,2]) shares two vertices → appears twice
+    row = list(adj[0, 1:])
+    assert row.count(2) == 2
+
+
+def test_normal_weighted_coo(icosphere):
+    v, f = icosphere
+    adj = face_adjacency_klist(f, 23)
+    pos = triangle_barycenters(v, f)
+    nrm = compute_face_normals(v, f)
+    coo = klist_to_coo_normal_weighted(adj, pos, nrm)
+    assert coo.shape == (f.shape[0], f.shape[0])
+    assert coo.nnz > 0
+    assert np.all(coo.data >= 0.001 - 1e-9)
+    # no self loops
+    assert not np.any(coo.row == coo.col)
+
+
+def test_coo_to_klist_roundtrip(icosphere):
+    v, f = icosphere
+    adj = face_adjacency_klist(f, 23)
+    pos = triangle_barycenters(v, f)
+    nrm = compute_face_normals(v, f)
+    coo = klist_to_coo_normal_weighted(adj, pos, nrm)
+    back, saturated = coo_to_klist(coo.tocsr(), 23)
+    assert not saturated
+    # same edge sets per node (order may differ)
+    for i in range(adj.shape[0]):
+        assert set(adj[i][adj[i] > 0]) == set(back[i][back[i] > 0])
+
+
+def test_coo_to_klist_saturation():
+    # star graph: node 0 connected to 30 others, K=23 → saturates
+    n = 31
+    rows = np.concatenate([np.zeros(30, int), np.arange(1, 31)])
+    cols = np.concatenate([np.arange(1, 31), np.zeros(30, int)])
+    m = scipy.sparse.coo_matrix((np.ones(60), (rows, cols)), shape=(n, n))
+    _, saturated = coo_to_klist(m.tocsr(), 23)
+    assert saturated
+
+
+def test_invert_permutation():
+    perm = np.array([3, 4, 0, 9, 1, 2, 5, 8, 6, 7, 10, 11])
+    inv = invert_permutation(perm)
+    np.testing.assert_array_equal(inv[perm], np.arange(len(perm)))
+
+
+def test_binary_tree_permutation_reference_vector():
+    """The hand-computed example the reference embeds as a module self-test
+    (lib/coarsening.py:243-244)."""
+    parents = [np.array([4, 1, 1, 2, 2, 3, 0, 0, 3]), np.array([2, 1, 0, 1, 0])]
+    out = binary_tree_permutation(parents)
+    assert out == [
+        [3, 4, 0, 9, 1, 2, 5, 8, 6, 7, 10, 11],
+        [2, 4, 1, 3, 0, 5],
+        [0, 1, 2],
+    ]
+
+
+def test_graclus_pairs_are_valid(icosphere, rng):
+    v, f = icosphere
+    adj = face_adjacency_klist(f, 23)
+    pos = triangle_barycenters(v, f)
+    nrm = compute_face_normals(v, f)
+    coo = klist_to_coo_normal_weighted(adj, pos, nrm)
+    graphs, parents = graclus_levels(coo, 2, rng=rng)
+    assert len(graphs) == 3 and len(parents) == 2
+    for lvl, parent in enumerate(parents):
+        # every cluster has 1 or 2 members
+        counts = np.bincount(parent)
+        assert np.all((counts >= 1) & (counts <= 2))
+        # paired nodes are actually adjacent in that level's graph
+        g = graphs[lvl].tocsr()
+        for cid in np.flatnonzero(counts == 2):
+            a, b = np.flatnonzero(parent == cid)
+            assert g[a, b] != 0 or g[b, a] != 0
+
+
+def test_coarsen_graph_pyramid(icosphere, rng):
+    v, f = icosphere
+    adj = face_adjacency_klist(f, 23)
+    pos = triangle_barycenters(v, f)
+    nrm = compute_face_normals(v, f)
+    coo = klist_to_coo_normal_weighted(adj, pos, nrm)
+    levels = 4
+    adjs, new_to_old = coarsen_graph(coo, levels, rng=rng)
+    assert len(adjs) == levels + 1
+    n0 = adjs[0].shape[0]
+    # perfect binary pyramid
+    for i, a in enumerate(adjs):
+        assert a.shape[0] == n0 // (2 ** i)
+        assert np.all(a.diagonal() == 0)
+    # permutation covers the padded fine level
+    assert len(new_to_old) == n0
+    assert sorted(new_to_old) == list(range(n0))
+    # sibling-adjacency property: pooling pairs (2i, 2i+1) of level 0 map to
+    # node i of level 1 — verified via the adjacency: edges of level 1 must
+    # connect clusters that had an edge between members in level 0
+    a0 = adjs[0].tocoo()
+    a1 = adjs[1].tocoo()
+    cluster = np.arange(n0) // 2
+    fine_edges = set(zip(cluster[a0.row], cluster[a0.col]))
+    for r, c in zip(a1.row, a1.col):
+        if r != c:
+            assert (r, c) in fine_edges
+
+
+def test_grow_graph_patch(icosphere):
+    v, f = icosphere
+    adj = face_adjacency_klist(f, 23)
+    patch_adj, old_idx = grow_graph_patch(adj, 100, seed=0)
+    # BFS expands whole neighbourhoods, so the patch may overshoot by < K
+    # (the reference allocates nodes_num + K for this, utils.py:1420)
+    assert 100 <= patch_adj.shape[0] < 100 + 23
+    assert old_idx.shape[0] == patch_adj.shape[0]
+    assert old_idx[0] == 0
+    # local adjacency is consistent with the global one
+    for local in range(patch_adj.shape[0]):
+        g = old_idx[local]
+        local_neighbors = set(patch_adj[local][patch_adj[local] > 0] - 1)
+        global_neighbors = set(adj[g][adj[g] > 0] - 1)
+        mapped = {int(old_idx[l]) for l in local_neighbors}
+        assert mapped <= global_neighbors | {g}
+
+
+def test_masked_patch_covers_mesh(icosphere):
+    v, f = icosphere
+    adj = face_adjacency_klist(f, 23)
+    n = adj.shape[0]
+    mask = np.zeros(n, dtype=np.int8)
+    seed = 0
+    patches = []
+    while np.any(mask == 0):
+        patch_adj, old_idx, next_seed = grow_graph_patch_masked(
+            adj, 120, seed, mask, min_size=40
+        )
+        new_faces = old_idx[mask[old_idx] == 0]
+        assert new_faces.size > 0
+        mask[old_idx] = 1
+        patches.append(old_idx)
+        if next_seed == -1 or np.all(mask == 1):
+            remaining = np.flatnonzero(mask == 0)
+            if remaining.size == 0:
+                break
+            seed = int(remaining[0])
+        else:
+            seed = next_seed
+    covered = np.unique(np.concatenate(patches))
+    assert covered.size == n
+
+
+def test_min_patch_size_growth(icosphere):
+    v, f = icosphere
+    adj = face_adjacency_klist(f, 23)
+    n = adj.shape[0]
+    # mask everything except a small island around face 0
+    mask = np.ones(n, dtype=np.int8)
+    island = grow_graph_patch(adj, 10, seed=0)[1]
+    mask[island] = 0
+    patch_adj, old_idx, _ = grow_graph_patch_masked(adj, 500, 0, mask, min_size=60)
+    assert old_idx.shape[0] >= 60    # grew past the mask for context
+
+
+def test_grow_mesh_patch(icosphere):
+    v, f = icosphere
+    adj = face_adjacency_klist(f, 23)
+    pv, pf, padj, v_old, f_old = grow_mesh_patch(v, f, adj, 50, seed=3)
+    assert pf.shape[0] == 50
+    assert pv.shape[0] == v_old.shape[0]
+    # faces reference patch-local vertices consistently
+    np.testing.assert_allclose(pv[pf[0]], v[np.asarray(f, np.int64)[f_old[0]]])
