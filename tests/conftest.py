@@ -3,7 +3,9 @@ multi-chip sharding paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session environment pins JAX_PLATFORMS=axon (remote TPU tunnel, ~0.7s
+# per eager op round-trip) — tests must override it, not setdefault it.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,6 +13,21 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # keep tests deterministic and fast
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# XLA compiles are slow in this environment (~1s per op); a persistent cache
+# makes test re-runs cheap.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fgc_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax
+
+# sitecustomize (axon TPU tunnel) may have initialized the backend already;
+# force CPU regardless.
+jax.config.update("jax_platforms", "cpu")
+try:  # drop any backend initialized before this conftest ran
+    jax.extend.backend.clear_backends()
+except Exception:
+    pass
 
 import numpy as np
 import pytest
