@@ -1,0 +1,17 @@
+"""Preprocessing CLI (reference ``preprocess.py:51-58``)."""
+
+import argparse
+
+from facet_graph_convolution_tpu.config import add_cli_overrides, config_from_args
+from facet_graph_convolution_tpu.data.preprocess import preprocess_directory
+
+
+def main():
+    parser = add_cli_overrides(argparse.ArgumentParser())
+    cfg = config_from_args(parser.parse_args())
+    preprocess_directory(cfg)
+    print(f"Preprocessing complete. Dumps saved to {cfg.data.binary_dump_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,30 @@
+"""Training CLI (reference ``train.py:1942-1978`` → ``mainFunction``)."""
+
+import argparse
+import os
+
+from facet_graph_convolution_tpu.config import add_cli_overrides, config_from_args
+from facet_graph_convolution_tpu.data.dataset import load_dataset
+from facet_graph_convolution_tpu.training.trainer import (
+    train_normals,
+    train_with_vertices,
+)
+
+
+def main():
+    parser = add_cli_overrides(argparse.ArgumentParser())
+    cfg = config_from_args(parser.parse_args())
+    suffix = "WithVertices" if cfg.model.include_vertices else ""
+    train_path = os.path.join(cfg.data.binary_dump_path, f"trainingSet{suffix}.npz")
+    valid_path = os.path.join(cfg.data.binary_dump_path, f"validSet{suffix}.npz")
+    train_set = load_dataset(train_path)
+    valid_set = load_dataset(valid_path) if os.path.isfile(valid_path) else None
+
+    if cfg.model.include_vertices:
+        train_with_vertices(cfg, train_set, valid_set)
+    else:
+        train_normals(cfg, train_set, valid_set)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+"""Evaluation: angular/Hausdorff metrics, heatmaps, CSV reports."""
+
+from facet_graph_convolution_tpu.evaluation.metrics import (  # noqa: F401
+    angular_error,
+    angular_error_stats,
+    one_sided_hausdorff,
+    hausdorff_oversampled,
+)
+from facet_graph_convolution_tpu.evaluation.driver import compute_metrics  # noqa: F401

@@ -112,8 +112,9 @@ def grow_patch_native(
         if mask is not None
         else np.zeros(n, dtype=np.int8)
     )
-    out_adj = np.full(((nodes_num + k), k), -1, dtype=np.int64)
-    old_idx = np.full(nodes_num + k, -1, dtype=np.int64)
+    cap = min(max(nodes_num, min_size) + k, n)
+    out_adj = np.full((cap, k), -1, dtype=np.int64)
+    old_idx = np.full(cap, -1, dtype=np.int64)
     new_idx = np.full(n, -1, dtype=np.int64)
     meta = np.zeros(2, dtype=np.int64)  # [count, next_seed]
     count = lib.grow_patch(

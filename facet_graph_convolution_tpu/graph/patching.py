@@ -65,9 +65,13 @@ def grow_graph_patch_masked(
     adj0 = adj.astype(np.int64) - 1          # zero-indexed, -1 = pad
     use_mask = mask if mask is not None else np.zeros(total, dtype=np.int8)
 
+    # BFS can overshoot either limit by < K when expanding a neighbourhood;
+    # min_size may exceed nodes_num (the reference sizes for nodes_num + K
+    # only, utils.py:1511, assuming min ≤ max).
+    cap = min(max(nodes_num, min_size) + k, total)
     new_idx = np.full(total, -1, dtype=np.int64)
-    old_idx = np.full(nodes_num + k, -1, dtype=np.int64)
-    out_adj = np.full((nodes_num + k, k), -1, dtype=np.int64)
+    old_idx = np.full(cap, -1, dtype=np.int64)
+    out_adj = np.full((cap, k), -1, dtype=np.int64)
     count = 0
 
     def add_node(g: int) -> int:

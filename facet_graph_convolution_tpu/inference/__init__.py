@@ -1,0 +1,7 @@
+"""Inference: patch prediction, overlap reassembly, vertex refinement."""
+
+from facet_graph_convolution_tpu.inference.driver import (  # noqa: F401
+    infer_normals,
+    infer_with_vertices,
+    infer_directory,
+)

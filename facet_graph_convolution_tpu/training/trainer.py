@@ -1,0 +1,312 @@
+"""Training drivers.
+
+TPU-first re-design of the reference training loops:
+
+- ONE jitted step computes forward + loss + gradients + Adam update, versus
+  the reference's three separate ``sess.run`` calls per iteration (loss,
+  train_step, NaN scan — train.py:577,619-620 — each re-running the forward
+  pass and re-uploading the patch via feed_dict);
+- rotation augmentation and loss-face sampling happen in-graph under
+  ``jax.random`` (reference generates both on host per step,
+  train.py:558-565);
+- patches are bucket-padded so XLA compiles a handful of shapes instead of
+  one program per mesh.
+
+Drivers: :func:`train_normals` (reference ``trainNet``, train.py:380-632) and
+:func:`train_with_vertices` (reference ``trainAccuracyNet``/
+``trainDoubleLossNet``, train.py:636-1267).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from facet_graph_convolution_tpu.config import Config
+from facet_graph_convolution_tpu.data.dataset import (
+    FacetPatch,
+    MeshDataset,
+    bucket_size,
+    pad_patch_to,
+)
+from facet_graph_convolution_tpu.models.augment import (
+    random_rotation,
+    rotate_inputs,
+    rotate_vec3,
+)
+from facet_graph_convolution_tpu.models.losses import (
+    face_normals_loss,
+    full_chamfer_loss,
+)
+from facet_graph_convolution_tpu.models.unet import init_unet, unet_apply
+from facet_graph_convolution_tpu.ops.normalization import normalize_tensor
+from facet_graph_convolution_tpu.ops.vertex_update import update_positions_multiscale
+from facet_graph_convolution_tpu.training.checkpoint import CheckpointManager
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(
+    key: jax.Array,
+    cfg: Config,
+    multi_scale: bool = False,
+    in_channels: int = 6,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    params = init_unet(
+        key,
+        in_channels=in_channels,
+        channels=tuple(cfg.model.channels),
+        num_filters=cfg.model.num_filters,
+        fc_channels=cfg.model.fc_channels,
+        out_channels=cfg.model.out_channels,
+        multi_scale=multi_scale,
+        std_dev=cfg.model.std_dev,
+        std_dev_bias=cfg.model.std_dev_bias,
+    )
+    tx = optax.adam(cfg.train.learning_rate)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+# ---------------------------------------------------------------------------
+# Normals-supervised step (reference trainNet)
+# ---------------------------------------------------------------------------
+
+def make_normals_train_step(
+    tx: optax.GradientTransformation,
+    cfg: Config,
+    augment: Optional[bool] = None,
+):
+    """Build the jitted (state, x, adjs, gt, key) → (state, loss) step."""
+    augment = cfg.train.augment_rotations if augment is None else augment
+    loss_samples = cfg.train.loss_samples
+    steps = cfg.model.coarsening_steps
+
+    def step(state: TrainState, x, adjs, gt, key):
+        rot_key, samp_key = jax.random.split(key)
+        if augment:
+            rot = random_rotation(rot_key)
+            x = rotate_inputs(rot, x)
+            gt = rotate_vec3(rot, gt)
+        sample_idx = jax.random.randint(samp_key, (loss_samples,), 0, x.shape[0])
+
+        def loss_fn(params):
+            y = unet_apply(params, x, adjs, coarsening_steps=steps)
+            y = normalize_tensor(y)
+            return face_normals_loss(
+                jnp.take(y, sample_idx, axis=0), jnp.take(gt, sample_idx, axis=0)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return jax.jit(step)
+
+
+def make_normals_eval_step(cfg: Config):
+    loss_samples = cfg.train.loss_samples
+    steps = cfg.model.coarsening_steps
+
+    def eval_step(params, x, adjs, gt, key):
+        sample_idx = jax.random.randint(key, (loss_samples,), 0, x.shape[0])
+        y = normalize_tensor(unet_apply(params, x, adjs, coarsening_steps=steps))
+        return face_normals_loss(
+            jnp.take(y, sample_idx, axis=0), jnp.take(gt, sample_idx, axis=0)
+        )
+
+    return jax.jit(eval_step)
+
+
+def _bucketed(patch: FacetPatch, align: int) -> FacetPatch:
+    return pad_patch_to(patch, bucket_size(patch.num_nodes, align))
+
+
+def _patch_arrays(patch: FacetPatch):
+    x = jnp.asarray(patch.inputs)
+    adjs = tuple(jnp.asarray(a) for a in patch.adjs)
+    gt = jnp.asarray(patch.gt_normals)
+    return x, adjs, gt
+
+
+def train_normals(
+    cfg: Config,
+    train_set: MeshDataset,
+    valid_set: Optional[MeshDataset] = None,
+    num_iterations: Optional[int] = None,
+    bucket_align: int = 1024,
+    log_every: Optional[int] = None,
+) -> Tuple[TrainState, np.ndarray]:
+    """Normals-supervised training loop (reference ``trainNet``,
+    train.py:380-632): random patch per step, smoothed train loss, periodic
+    validation sweep, periodic checkpointing with NaN abort, loss history CSV.
+    """
+    iters = num_iterations or cfg.train.num_iterations
+    log_every = log_every or cfg.train.eval_every
+    key = jax.random.PRNGKey(cfg.train.seed)
+    state, tx = create_train_state(key, cfg)
+    step_fn = make_normals_train_step(tx, cfg)
+    eval_fn = make_normals_eval_step(cfg)
+
+    ckpt = CheckpointManager(cfg.train.network_path, cfg.train.net_name)
+    state, start_step = ckpt.restore(state)
+
+    patches = [_bucketed(p, bucket_align) for p in train_set.patches]
+    valid_patches = (
+        [_bucketed(p, bucket_align) for p in valid_set.patches] if valid_set else []
+    )
+    arrays = [_patch_arrays(p) for p in patches]
+    valid_arrays = [_patch_arrays(p) for p in valid_patches]
+
+    rng = np.random.default_rng(cfg.train.seed)
+    loss_hist: List[Tuple[float, float]] = []
+    smooth_loss, smooth_n, last_valid = 0.0, 0, float("nan")
+    t_start = time.time()
+
+    for it in range(iters):
+        if it > 0 and it % cfg.train.save_every == 0:
+            ckpt.save(start_step + it, state)
+            if not np.isfinite(float(smooth_loss)):
+                print("NaN training loss — aborting at checkpoint")
+                break
+        idx = int(rng.integers(len(arrays)))
+        x, adjs, gt = arrays[idx]
+        key, sub = jax.random.split(key)
+        state, loss = step_fn(state, x, adjs, gt, sub)
+        smooth_loss += float(loss)
+        smooth_n += 1
+        if it % log_every == 0:
+            avg = smooth_loss / max(smooth_n, 1)
+            print(f"iter {it}: train loss {avg:.4f} "
+                  f"({(time.time() - t_start):.1f}s)")
+            loss_hist.append((avg, last_valid))
+            smooth_loss, smooth_n = 0.0, 0
+        if valid_arrays and it % cfg.train.valid_every == 0:
+            vloss = 0.0
+            for vx, vadjs, vgt in valid_arrays:
+                key, sub = jax.random.split(key)
+                vloss += float(eval_fn(state.params, vx, vadjs, vgt, sub))
+            last_valid = vloss / len(valid_arrays)
+            print(f"iter {it}: validation loss {last_valid:.4f}")
+
+    ckpt.save(start_step + iters, state)
+    ckpt.close()
+    hist = np.asarray(loss_hist, dtype=np.float64)
+    csv_path = os.path.join(cfg.train.network_path, cfg.train.net_name + ".csv")
+    os.makedirs(cfg.train.network_path, exist_ok=True)
+    with open(csv_path, "ab") as fh:
+        np.savetxt(fh, hist, delimiter=",")
+    return state, hist
+
+
+# ---------------------------------------------------------------------------
+# Vertex-supervised step (reference trainAccuracyNet / trainDoubleLossNet):
+# multiScale forward → in-graph multi-scale vertex solver → sampled chamfer
+# against the GT point set, optionally + normal supervision.
+# ---------------------------------------------------------------------------
+
+def make_vertex_train_step(
+    tx: optax.GradientTransformation,
+    cfg: Config,
+    normals_weight: float = 0.0,
+):
+    """(state, patch arrays, key) → (state, loss). ``normals_weight > 0``
+    adds the angular term, giving the reference's double-loss trainer
+    (train.py:919-1267)."""
+    steps = cfg.model.coarsening_steps
+    samples = cfg.train.chamfer_samples
+    iter_nums = cfg.eval.ms_solver_iterations
+
+    def step(state, x, adjs, vertices, gt_vertices, faces, v_faces, gt_normals, key):
+        rot_key, s0_key, s1_key = jax.random.split(key, 3)
+        rot = random_rotation(rot_key)
+        x_rot = rotate_inputs(rot, x)
+        v_rot = rotate_vec3(rot, vertices)
+        gtv_rot = rotate_vec3(rot, gt_vertices)
+        idx0 = jax.random.randint(s0_key, (samples,), 0, vertices.shape[0])
+        idx1 = jax.random.randint(s1_key, (samples,), 0, gt_vertices.shape[0])
+
+        def loss_fn(params):
+            y0, y1, y2 = unet_apply(
+                params, x_rot, adjs, coarsening_steps=steps, multi_scale=True
+            )
+            n0 = normalize_tensor(y0)
+            n1 = normalize_tensor(y1)
+            n2 = normalize_tensor(y2)
+            refined, _ = update_positions_multiscale(
+                v_rot, [n0, n1, n2], faces, v_faces,
+                coarsening_steps=steps, iter_nums=iter_nums,
+            )
+            loss = full_chamfer_loss(refined, gtv_rot, idx0, idx1)
+            if normals_weight > 0 and gt_normals is not None:
+                gtn_rot = rotate_vec3(rot, gt_normals)
+                loss = loss + normals_weight * face_normals_loss(n0, gtn_rot)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return jax.jit(step)
+
+
+def train_with_vertices(
+    cfg: Config,
+    train_set: MeshDataset,
+    valid_set: Optional[MeshDataset] = None,
+    num_iterations: Optional[int] = None,
+    normals_weight: float = 0.0,
+) -> Tuple[TrainState, np.ndarray]:
+    """End-to-end vertex training (reference ``trainAccuracyNet``,
+    train.py:636-914): gradients flow from the chamfer loss through the
+    120-iteration vertex solver into the U-Net."""
+    iters = num_iterations or cfg.train.num_iterations
+    key = jax.random.PRNGKey(cfg.train.seed)
+    state, tx = create_train_state(key, cfg, multi_scale=True)
+    step_fn = make_vertex_train_step(tx, cfg, normals_weight=normals_weight)
+
+    ckpt = CheckpointManager(cfg.train.network_path, cfg.train.net_name)
+    state, start_step = ckpt.restore(state)
+
+    arrays = []
+    for p in train_set.patches:
+        arrays.append(
+            (
+                jnp.asarray(p.inputs),
+                tuple(jnp.asarray(a) for a in p.adjs),
+                jnp.asarray(p.vertices),
+                jnp.asarray(p.gt_vertices),
+                jnp.asarray(p.faces),
+                jnp.asarray(p.v_faces),
+                None if p.gt_normals is None else jnp.asarray(p.gt_normals),
+            )
+        )
+
+    rng = np.random.default_rng(cfg.train.seed)
+    loss_hist = []
+    save_every = min(cfg.train.save_every, 500)   # reference uses 500 here
+    for it in range(iters):
+        if it > 0 and it % save_every == 0:
+            ckpt.save(start_step + it, state)
+        idx = int(rng.integers(len(arrays)))
+        x, adjs, v, gtv, faces, v_faces, gtn = arrays[idx]
+        key, sub = jax.random.split(key)
+        state, loss = step_fn(state, x, adjs, v, gtv, faces, v_faces, gtn, sub)
+        loss_hist.append(float(loss))
+        if it % 10 == 0:
+            print(f"iter {it}: loss {float(loss):.4f}")
+
+    ckpt.save(start_step + iters, state)
+    ckpt.close()
+    return state, np.asarray(loss_hist)

@@ -1,0 +1,73 @@
+"""Training smoke tests: the jitted step runs, loss decreases on a real
+denoising problem, checkpoints round-trip."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from facet_graph_convolution_tpu.config import default_config
+from facet_graph_convolution_tpu.data.dataset import TrainingSet
+from facet_graph_convolution_tpu.training.trainer import (
+    create_train_state,
+    make_normals_train_step,
+    train_normals,
+)
+from tests.conftest import make_icosphere
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    network_dir = str(tmp_path_factory.mktemp("nets")) + "/"
+    cfg = default_config()
+    return cfg.replace(
+        model={"fc_channels": 64, "channels": (8, 16, 32), "num_filters": 4},
+        train={
+            "loss_samples": 256,
+            "network_path": network_dir,
+            "save_every": 50,
+            "eval_every": 10,
+            "valid_every": 1000,
+            "seed": 0,
+        },
+    )
+
+
+@pytest.fixture(scope="module")
+def sphere_set():
+    v, f = make_icosphere(2)
+    rng = np.random.default_rng(3)
+    noisy = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
+    ds = TrainingSet(
+        max_patch_size=20000, coarsening_steps=2, coarsening_levels=3,
+        k_faces=23, seed=0,
+    )
+    ds.add_mesh(noisy, f, gt_vertices=v)
+    return ds
+
+
+def test_loss_decreases(tiny_cfg, sphere_set):
+    state, hist = train_normals(
+        tiny_cfg, sphere_set, num_iterations=300, bucket_align=64, log_every=10
+    )
+    first = np.mean(hist[:3, 0])
+    last = np.mean(hist[-3:, 0])
+    assert np.isfinite(hist[:, 0]).all()
+    # denoising a noisy sphere from 6-channel inputs: loss must drop clearly
+    assert last < first * 0.5, (first, last)
+
+
+def test_checkpoint_resume(tiny_cfg, sphere_set):
+    # the run above saved checkpoints into tiny_cfg.train.network_path
+    from facet_graph_convolution_tpu.training.checkpoint import CheckpointManager
+
+    state, tx = create_train_state(jax.random.PRNGKey(0), tiny_cfg)
+    mgr = CheckpointManager(tiny_cfg.train.network_path, tiny_cfg.train.net_name)
+    restored, step = mgr.restore(state)
+    mgr.close()
+    assert step > 0
+    # restored params differ from fresh init
+    w_fresh = np.asarray(state.params["conv1"]["w"])
+    w_restored = np.asarray(restored.params["conv1"]["w"])
+    assert not np.allclose(w_fresh, w_restored)
