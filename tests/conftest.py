@@ -22,9 +22,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax
 
 # sitecustomize (axon TPU tunnel) may have initialized the backend already;
-# force CPU regardless.
+# force CPU with 8 virtual devices regardless (XLA_FLAGS is parsed before
+# conftest runs, so the env var alone is not enough).
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 try:  # drop any backend initialized before this conftest ran
+    import jax.extend.backend
+
     jax.extend.backend.clear_backends()
 except Exception:
     pass
