@@ -1,0 +1,161 @@
+"""Benchmark: facet-graph U-Net training-step throughput in edges/s/chip.
+
+Metric: one full jitted training step (forward + backward + Adam) on a
+~20k-face patch; edges = Σ over the 8 graph convolutions of the non-zero
+adjacency entries at that conv's pyramid level — the SpMM-equivalent work the
+step performs (fwd+bwd share the count; the step includes both).
+
+Prints ONE JSON line:
+  {"metric": "train_step_edges_per_s", "value": N, "unit": "edges/s",
+   "vs_baseline": R}
+where R = value / CPU-baseline edges/s recorded in BASELINE_CPU.json
+(north-star target: ≥ 10×, BASELINE.md).
+
+Run with the default platform (TPU under the driver); pass --cpu to measure
+and refresh the CPU baseline file.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_CPU.json")
+
+
+def build_bench_patch(subdiv=5, seed=0):
+    from __graft_entry__ import _make_patch
+
+    return _make_patch(subdiv=subdiv, seed=seed)
+
+
+def count_edges(patch) -> int:
+    """Non-zero adjacency entries per conv, summed over the U-Net's convs:
+    3 convs at level 0, 3 at level 1, 2 at level 2 (models/unet.py)."""
+    import numpy as np
+
+    convs_per_level = (3, 3, 2)
+    total = 0
+    for adj, n_convs in zip(patch.adjs, convs_per_level):
+        total += int(np.count_nonzero(adj)) * n_convs
+    return total
+
+
+def measure(steps=20, repeats=3, subdiv=5, bf16=False):
+    """Sustained training throughput: `steps` full train steps run inside one
+    jitted lax.scan (keys presplit on host), timed over `repeats` dispatches.
+    This measures device throughput, not per-dispatch host/tunnel latency —
+    and matches how the production loop batches steps."""
+    import jax
+    import jax.numpy as jnp
+
+    # cache compiles across bench runs (remote TPU compiles take minutes)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fgc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from facet_graph_convolution_tpu.config import default_config
+    from facet_graph_convolution_tpu.data.dataset import bucket_size, pad_patch_to
+    from facet_graph_convolution_tpu.training.trainer import (
+        create_train_state,
+        make_normals_train_step,
+    )
+
+    patch = build_bench_patch(subdiv=subdiv)
+    patch = pad_patch_to(patch, bucket_size(patch.num_nodes, 1024))
+    edges = count_edges(patch)
+
+    cfg = default_config()
+    if bf16:
+        cfg = cfg.replace(model={"compute_dtype": "bfloat16"})
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_normals_train_step(tx, cfg)  # (state, x, adjs, gt, key)
+
+    from facet_graph_convolution_tpu.graph.convert import transpose_adjacency
+
+    x = jnp.asarray(patch.inputs)
+    adjs = tuple(jnp.asarray(a) for a in patch.adjs)
+    adj_ts = tuple(jnp.asarray(transpose_adjacency(a)) for a in patch.adjs)
+    gt = jnp.asarray(patch.gt_normals)
+
+    @jax.jit
+    def run_steps(state, keys, x, adjs, gt, adj_ts):
+        def body(state, key):
+            state, loss = step_fn(state, x, adjs, gt, key, adj_ts)
+            return state, loss
+
+        return jax.lax.scan(body, state, keys)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), steps)
+    state, losses = run_steps(state, keys, x, adjs, gt, adj_ts)  # compile+warmup
+    _ = float(losses[-1])
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, losses = run_steps(state, keys, x, adjs, gt, adj_ts)
+        # block_until_ready does not reliably await on the axon tunnel;
+        # force a value transfer to measure true completion
+        _ = float(losses[-1])
+        times.append((time.perf_counter() - t0) / steps)
+
+    times.sort()
+    median = times[len(times) // 2]
+    return {
+        "edges_per_step": edges,
+        "nodes": patch.num_nodes,
+        "median_step_s": median,
+        "best_step_s": times[0],
+        "edges_per_s": edges / median,
+        "platform": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "final_loss": float(losses[-1]),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true",
+                        help="measure on CPU and refresh BASELINE_CPU.json")
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--subdiv", type=int, default=5)
+    parser.add_argument("--bf16", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    result = measure(steps=args.steps, subdiv=args.subdiv, bf16=args.bf16)
+
+    if args.cpu:
+        with open(BASELINE_FILE, "w") as fh:
+            json.dump(result, fh, indent=2)
+        print(json.dumps({
+            "metric": "train_step_edges_per_s_cpu",
+            "value": result["edges_per_s"],
+            "unit": "edges/s",
+            "vs_baseline": 1.0,
+        }))
+        return
+
+    baseline = None
+    if os.path.isfile(BASELINE_FILE):
+        with open(BASELINE_FILE) as fh:
+            baseline = json.load(fh)
+    vs = result["edges_per_s"] / baseline["edges_per_s"] if baseline else -1.0
+
+    print(json.dumps({
+        "metric": "train_step_edges_per_s",
+        "value": round(result["edges_per_s"], 1),
+        "unit": "edges/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,11 +19,14 @@ from facet_graph_convolution_tpu.geometry.mesh_math import (  # noqa: F401
 )
 from facet_graph_convolution_tpu.geometry.obj_io import (  # noqa: F401
     load_obj,
+    load_off_pc,
+    load_coff_pc,
     write_obj,
     write_coff,
     colored_mesh,
     heatmap_mesh,
     heatmap_colors,
+    normals_to_colors,
 )
 from facet_graph_convolution_tpu.geometry.pointset import (  # noqa: F401
     bounding_box,
@@ -35,6 +38,8 @@ from facet_graph_convolution_tpu.geometry.pointset import (  # noqa: F401
 )
 from facet_graph_convolution_tpu.geometry.filters import (  # noqa: F401
     bilateral_filter_normals,
+    fnd_descriptors,
+    face_assignment,
     face_curvature_stats,
     filter_flipped_faces,
     graph_distance,

@@ -133,6 +133,33 @@ def filter_flipped_faces(face_normals: np.ndarray, adj: np.ndarray) -> np.ndarra
     return face_normals
 
 
+def face_assignment(
+    vertices0: np.ndarray,
+    faces0: np.ndarray,
+    vertices1: np.ndarray,
+    faces1: np.ndarray,
+    num_assignment: int,
+) -> np.ndarray:
+    """For each face of mesh 0, the ``num_assignment`` nearest faces of mesh 1
+    by barycenter distance after joint bounding-box normalization (reference
+    ``getFaceAssignment``, utils.py:1011-1164; exact KD-tree k-NN instead of
+    its 5³ grid partition)."""
+    from scipy.spatial import cKDTree
+
+    from facet_graph_convolution_tpu.geometry.mesh_math import (
+        triangle_barycenters,
+    )
+
+    c0 = triangle_barycenters(vertices0, faces0, normalize=False).astype(np.float64)
+    c1 = triangle_barycenters(vertices1, faces1, normalize=False).astype(np.float64)
+    mins = np.minimum(c0.min(axis=0), c1.min(axis=0))
+    diag = np.sqrt(np.sum((np.maximum(c0.max(0), c1.max(0)) - mins) ** 2))
+    c0 = (c0 - mins) / diag
+    c1 = (c1 - mins) / diag
+    _, idx = cKDTree(c1).query(c0, k=num_assignment)
+    return np.asarray(idx, dtype=np.int32).reshape(c0.shape[0], num_assignment)
+
+
 def graph_distance(adj: np.ndarray, src: int, dst: int) -> int:
     """BFS hop distance between two nodes of a K-list graph (reference
     ``getGraphDist``, utils.py:2142-2174). ``adj`` one-indexed is accepted in

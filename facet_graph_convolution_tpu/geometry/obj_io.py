@@ -155,6 +155,31 @@ def heatmap_colors(values: np.ndarray) -> np.ndarray:
     return lo + coef[:, None] * (hi - lo)
 
 
+def load_off_pc(path: str) -> np.ndarray:
+    """Point cloud from an OFF file (reference ``load_off_PC``,
+    utils.py:419-444): header line, count line, then x y z rows."""
+    with open(path, "r") as fh:
+        header = fh.readline().strip()
+        if header != "OFF":
+            raise ValueError(f"bad OFF header: {header!r}")
+        fh.readline()   # counts (unused — rows are read to EOF)
+        pts = [line.split()[0:3] for line in fh if line.strip()]
+    return np.asarray(pts, dtype=np.float32)
+
+
+def load_coff_pc(path: str):
+    """Colored point cloud from a COFF file (reference ``load_coff_PC``,
+    utils.py:446-473). Returns (points [N,3], colors [N,3])."""
+    with open(path, "r") as fh:
+        header = fh.readline().strip()
+        if header != "COFF":
+            raise ValueError(f"bad COFF header: {header!r}")
+        fh.readline()
+        rows = [line.split() for line in fh if line.strip()]
+    arr = np.asarray(rows, dtype=np.float32)
+    return arr[:, 0:3], arr[:, 3:6]
+
+
 def normals_to_colors(normals: np.ndarray) -> np.ndarray:
     """Map unit normals to RGB in [0,1] (reference ``infer.py:108-109``)."""
     return (normalize_rows(np.asarray(normals, np.float32)) + 1.0) / 2.0

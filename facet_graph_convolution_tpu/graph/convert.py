@@ -90,6 +90,39 @@ def coo_to_klist(adj: scipy.sparse.spmatrix, k: int) -> Tuple[np.ndarray, bool]:
     return out, bool(np.any(~keep))
 
 
+def transpose_adjacency(adj: np.ndarray) -> np.ndarray:
+    """Transpose slot map for scatter-free gather backward.
+
+    For the one-indexed K-list ``adj`` [N, K], returns ``adj_t`` [N, K_t]
+    (one-indexed flat slots, 0 = pad) where ``adj_t[j]`` lists the flat slots
+    ``i*K + k`` such that ``adj[i, k] == j+1``. The cotangent of
+    ``x_nbr = x[adj]`` is then the *gather* ``dx[j] = Σ_k' g_flat[adj_t[j,k']]``
+    instead of an XLA scatter-add — scatters serialize on TPU, gathers don't.
+
+    K_t is the maximum in-slot count (= max node degree incl. duplicate
+    edge-shared entries, so ≈ K for the facet graph).
+    """
+    n, k = adj.shape
+    flat = adj.reshape(-1).astype(np.int64)          # one-indexed targets
+    slots = np.arange(n * k, dtype=np.int64)
+    valid = flat > 0
+    targets = flat[valid] - 1
+    slots = slots[valid]
+    order = np.argsort(targets, kind="stable")
+    targets, slots = targets[order], slots[order]
+    if targets.size == 0:
+        return np.zeros((n, 1), dtype=np.int32)
+    new = np.ones(targets.shape[0], dtype=bool)
+    new[1:] = targets[1:] != targets[:-1]
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, targets.shape[0]))
+    k_t = int(counts.max())
+    rank = np.arange(targets.shape[0]) - np.repeat(starts, counts)
+    adj_t = np.zeros((n, k_t), dtype=np.int32)
+    adj_t[targets, rank] = slots + 1
+    return adj_t
+
+
 def invert_permutation(perm: np.ndarray) -> np.ndarray:
     """Inverse permutation, sized to cover max(len, max+1) like the reference
     ``inv_perm`` (utils.py:1830-1835)."""

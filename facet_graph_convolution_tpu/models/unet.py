@@ -83,13 +83,18 @@ def unet_apply(
     alpha: float = 0.1,
     variant: FacetConvVariant = FacetConvVariant.DEFAULT,
     compute_dtype=None,
+    adj_ts: Optional[Sequence[jnp.ndarray]] = None,
 ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Forward pass. ``x`` [N, C]; ``adjs`` = K-list adjacency per level
     (fine→coarse), length 1 or 3. With one level the pyramid collapses to the
     single-scale conv stack (the reference supports this via
     ``coarseningLvlNum=1``, dataClasses.py:148-150, train.py:487-488)."""
+    if adj_ts is None:
+        adj_ts = [None] * len(adjs)
+    tmap = dict(zip([id(a) for a in adjs], adj_ts))
     conv = lambda name, h, a: facet_conv(
-        params[name], h, a, variant=variant, compute_dtype=compute_dtype
+        params[name], h, a, variant=variant, compute_dtype=compute_dtype,
+        adj_t=tmap.get(id(a)),
     )
 
     if len(adjs) == 1:

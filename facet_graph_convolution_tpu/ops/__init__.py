@@ -21,6 +21,8 @@ from facet_graph_convolution_tpu.ops.conv import (  # noqa: F401
     facet_conv_gather,
     init_facet_conv_pos_assignment,
     facet_conv_pos_assignment,
+    init_facet_conv_only_pos_assignment,
+    facet_conv_only_pos_assignment,
     init_linear,
     linear,
     assignment_weights,
@@ -35,6 +37,7 @@ from facet_graph_convolution_tpu.ops.normalization import (  # noqa: F401
     dot_last,
     lrelu,
     moments_norm,
+    face_normals_device,
 )
 from facet_graph_convolution_tpu.ops.vertex_update import (  # noqa: F401
     update_positions_edges,

@@ -123,6 +123,7 @@ def assignment_weights(
     adj: jnp.ndarray,
     variant: FacetConvVariant = FacetConvVariant.DEFAULT,
     split_channels: Optional[int] = None,
+    adj_t: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Per-edge soft assignment q [N, K, M] = softmax over M of the variant's
     logits. Padded adjacency slots receive logits as if x_j = 0, matching the
@@ -131,11 +132,11 @@ def assignment_weights(
     if variant == FacetConvVariant.DEFAULT:
         ux = x @ u.T                                           # [N, M]
         vx = x @ params["v"].T                                 # [N, M]
-        vx_nbr = gather_neighbors(vx, adj)                     # [N, K, M]
+        vx_nbr = gather_neighbors(vx, adj, adj_t)              # [N, K, M]
         logits = ux[:, None, :] + vx_nbr + c
     elif variant == FacetConvVariant.TRANSLATION_INVARIANT:
         ux = x @ u.T
-        ux_nbr = gather_neighbors(ux, adj)
+        ux_nbr = gather_neighbors(ux, adj, adj_t)
         logits = ux[:, None, :] - ux_nbr + c                   # u·(x_i − x_j)
     elif variant == FacetConvVariant.ROTATION_INVARIANT:
         logits = _rotation_invariant_logits(u, c, x, adj)
@@ -173,15 +174,20 @@ def _rotation_invariant_logits(u, c, x, adj) -> jnp.ndarray:
 # Convolution
 # ---------------------------------------------------------------------------
 
-def _finish_conv(q, x, adj, w, b, bias_mask: bool, compute_dtype=None):
+def _finish_conv(q, x, adj, w, b, bias_mask: bool, compute_dtype=None,
+                 adj_t=None):
     """Aggregate-then-transform epilogue shared by all variants."""
     dtype = compute_dtype or x.dtype
     deg = neighbor_counts(adj)
     inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1), 0.0).astype(dtype)
 
-    x_nbr = gather_neighbors(x.astype(dtype), adj)             # [N, K, C]
-    z = jnp.einsum("nkm,nkc->nmc", q.astype(dtype), x_nbr)     # [N, M, C]
-    z = z * inv_deg[:, None, None]
+    x_nbr = gather_neighbors(x.astype(dtype), adj, adj_t)      # [N, K, C]
+    # bf16 inputs with f32 accumulation (MXU-native) when compute_dtype is set
+    z = jnp.einsum(
+        "nkm,nkc->nmc", q.astype(dtype), x_nbr,
+        preferred_element_type=jnp.float32,
+    )
+    z = (z * inv_deg[:, None, None]).astype(dtype)
     y = jnp.einsum(
         "nmc,moc->no", z, w.astype(dtype),
         preferred_element_type=jnp.float32,
@@ -201,14 +207,17 @@ def facet_conv(
     variant: FacetConvVariant = FacetConvVariant.DEFAULT,
     bias_mask: bool = True,
     compute_dtype=None,
+    adj_t: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Facet graph convolution, fast path.
 
     ``x`` [N, C], ``adj`` [N, K] one-indexed → [N, out]. Matches
-    ``custom_conv2d`` (model.py:427-504) to float tolerance.
+    ``custom_conv2d`` (model.py:427-504) to float tolerance. ``adj_t``
+    enables the scatter-free gather backward.
     """
-    q = assignment_weights(params, x, adj, variant)
-    return _finish_conv(q, x, adj, params["w"], params["b"], bias_mask, compute_dtype)
+    q = assignment_weights(params, x, adj, variant, adj_t=adj_t)
+    return _finish_conv(q, x, adj, params["w"], params["b"], bias_mask,
+                        compute_dtype, adj_t=adj_t)
 
 
 def facet_conv_gather(
@@ -285,3 +294,48 @@ def facet_conv_pos_assignment(
 
     xn = x[:, :in_w]
     return _finish_conv(q, xn, adj, params["w"], params["b"], bias_mask)
+
+
+def init_facet_conv_only_pos_assignment(
+    key: jax.Array,
+    in_channels: int,            # total, including trailing 3 position chans
+    out_channels: int,
+    num_filters: int,
+    translation_invariance: bool = False,
+    std_dev: float = 0.05,
+    std_dev_bias: float = 0.01,
+) -> Dict[str, jnp.ndarray]:
+    kw, kb, ku, kv, kc = jax.random.split(key, 5)
+    in_w = in_channels - 3
+    params = {
+        "w": jax.random.normal(kw, (num_filters, out_channels, in_w)) * std_dev,
+        "b": jax.random.normal(kb, (out_channels,)) * std_dev_bias,
+        "u": jax.random.normal(ku, (num_filters, 3)) * std_dev,
+        "c": jax.random.normal(kc, (num_filters,)) * std_dev,
+    }
+    if not translation_invariance:
+        params["v"] = jax.random.normal(kv, (num_filters, 3)) * std_dev
+    return params
+
+
+def facet_conv_only_pos_assignment(
+    params: Dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    adj: jnp.ndarray,
+) -> jnp.ndarray:
+    """Assignment computed from the position block ONLY; weights see the
+    remaining channels; bias unmasked (reference
+    ``custom_conv2d_only_pos_for_assignment``, model.py:699-760)."""
+    u, c = params["u"], params["c"]
+    in_w = x.shape[-1] - 3
+    xp = x[:, in_w:]
+    if "v" in params:
+        up_x = xp @ u.T
+        vp_nbr = gather_neighbors(xp @ params["v"].T, adj)
+        logits = up_x[:, None, :] + vp_nbr + c
+    else:
+        up_x = xp @ u.T
+        up_nbr = gather_neighbors(up_x, adj)
+        logits = up_x[:, None, :] - up_nbr + c
+    q = jax.nn.softmax(logits, axis=-1)
+    return _finish_conv(q, x[:, :in_w], adj, params["w"], params["b"], bias_mask=False)

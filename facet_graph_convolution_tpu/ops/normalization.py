@@ -38,6 +38,15 @@ def lrelu(x: jnp.ndarray, alpha: float = 0.1) -> jnp.ndarray:
     return jax.nn.relu(x) - alpha * jax.nn.relu(-x)
 
 
+def face_normals_device(points: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Device-side facet normals from current vertex positions (reference
+    ``tfComputeNormals``, utils.py:71-83: ``cross(v1−v0, v2−v1)`` then
+    normalize_tensor)."""
+    tri = jnp.take(points, faces.astype(jnp.int32), axis=0)     # [F, 3, 3]
+    n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 1])
+    return normalize_tensor(n)
+
+
 def init_moments_norm(key: jax.Array, channels: int, std_dev: float = 0.05) -> Dict:
     kg, kb = jax.random.split(key)
     return {

@@ -90,8 +90,11 @@ def make_normals_train_step(
     augment = cfg.train.augment_rotations if augment is None else augment
     loss_samples = cfg.train.loss_samples
     steps = cfg.model.coarsening_steps
+    compute_dtype = (
+        jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
+    )
 
-    def step(state: TrainState, x, adjs, gt, key):
+    def step(state: TrainState, x, adjs, gt, key, adj_ts=None):
         rot_key, samp_key = jax.random.split(key)
         if augment:
             rot = random_rotation(rot_key)
@@ -100,7 +103,10 @@ def make_normals_train_step(
         sample_idx = jax.random.randint(samp_key, (loss_samples,), 0, x.shape[0])
 
         def loss_fn(params):
-            y = unet_apply(params, x, adjs, coarsening_steps=steps)
+            y = unet_apply(
+                params, x, adjs, coarsening_steps=steps,
+                compute_dtype=compute_dtype, adj_ts=adj_ts,
+            )
             y = normalize_tensor(y)
             return face_normals_loss(
                 jnp.take(y, sample_idx, axis=0), jnp.take(gt, sample_idx, axis=0)
@@ -132,11 +138,18 @@ def _bucketed(patch: FacetPatch, align: int) -> FacetPatch:
     return pad_patch_to(patch, bucket_size(patch.num_nodes, align))
 
 
-def _patch_arrays(patch: FacetPatch):
+def _patch_arrays(patch: FacetPatch, with_transpose: bool = True):
+    from facet_graph_convolution_tpu.graph.convert import transpose_adjacency
+
     x = jnp.asarray(patch.inputs)
     adjs = tuple(jnp.asarray(a) for a in patch.adjs)
     gt = jnp.asarray(patch.gt_normals)
-    return x, adjs, gt
+    adj_ts = (
+        tuple(jnp.asarray(transpose_adjacency(a)) for a in patch.adjs)
+        if with_transpose
+        else None
+    )
+    return x, adjs, gt, adj_ts
 
 
 def train_normals(
@@ -180,9 +193,9 @@ def train_normals(
                 print("NaN training loss — aborting at checkpoint")
                 break
         idx = int(rng.integers(len(arrays)))
-        x, adjs, gt = arrays[idx]
+        x, adjs, gt, adj_ts = arrays[idx]
         key, sub = jax.random.split(key)
-        state, loss = step_fn(state, x, adjs, gt, sub)
+        state, loss = step_fn(state, x, adjs, gt, sub, adj_ts)
         smooth_loss += float(loss)
         smooth_n += 1
         if it % log_every == 0:
@@ -193,7 +206,7 @@ def train_normals(
             smooth_loss, smooth_n = 0.0, 0
         if valid_arrays and it % cfg.train.valid_every == 0:
             vloss = 0.0
-            for vx, vadjs, vgt in valid_arrays:
+            for vx, vadjs, vgt, _vts in valid_arrays:
                 key, sub = jax.random.split(key)
                 vloss += float(eval_fn(state.params, vx, vadjs, vgt, sub))
             last_valid = vloss / len(valid_arrays)

@@ -1,0 +1,87 @@
+"""Transpose-adjacency (scatter-free) gather backward parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facet_graph_convolution_tpu.graph.convert import transpose_adjacency
+from facet_graph_convolution_tpu.ops.gather import gather_neighbors
+
+
+def random_klist(rng, n=40, k=7):
+    adj = np.zeros((n, k), np.int32)
+    adj[:, 0] = np.arange(n) + 1
+    for i in range(n):
+        deg = rng.integers(0, k - 1)
+        adj[i, 1 : 1 + deg] = rng.choice(n, size=deg, replace=False) + 1
+    return adj
+
+
+def test_transpose_structure(rng):
+    adj = random_klist(rng)
+    adj_t = transpose_adjacency(adj)
+    n, k = adj.shape
+    # every (i, k) slot with a target appears exactly once in adj_t
+    pairs = set()
+    for j in range(n):
+        for slot in adj_t[j]:
+            if slot > 0:
+                flat = slot - 1
+                i, kk = divmod(int(flat), k)
+                assert adj[i, kk] == j + 1
+                pairs.add(int(flat))
+    expected = {i * k + kk for i in range(n) for kk in range(k) if adj[i, kk] > 0}
+    assert pairs == expected
+
+
+def test_gather_backward_matches(rng):
+    adj = random_klist(rng)
+    adj_t = transpose_adjacency(adj)
+    n = adj.shape[0]
+    x = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(n, adj.shape[1], 5)).astype(np.float32))
+
+    def f_plain(x):
+        return jnp.sum(gather_neighbors(x, jnp.asarray(adj)) * cot)
+
+    def f_t(x):
+        return jnp.sum(
+            gather_neighbors(x, jnp.asarray(adj), jnp.asarray(adj_t)) * cot
+        )
+
+    # forward identical
+    np.testing.assert_allclose(
+        np.asarray(gather_neighbors(x, jnp.asarray(adj))),
+        np.asarray(gather_neighbors(x, jnp.asarray(adj), jnp.asarray(adj_t))),
+    )
+    g_plain = jax.jit(jax.grad(f_plain))(x)
+    g_t = jax.jit(jax.grad(f_t))(x)
+    np.testing.assert_allclose(np.asarray(g_plain), np.asarray(g_t), atol=1e-5)
+
+
+def test_unet_grads_match_with_transpose(rng):
+    from facet_graph_convolution_tpu.models.unet import init_unet, unet_apply
+
+    adjs, adj_ts = [], []
+    n = 64
+    for _ in range(3):
+        adj = random_klist(rng, n=n, k=7)
+        adjs.append(jnp.asarray(adj))
+        adj_ts.append(jnp.asarray(transpose_adjacency(adj)))
+        n //= 4
+    x = jnp.asarray(rng.normal(size=(64, 6)).astype(np.float32))
+    params = init_unet(jax.random.PRNGKey(0), in_channels=6,
+                       channels=(8, 16, 32), num_filters=4, fc_channels=32)
+
+    def loss_plain(p):
+        return jnp.sum(unet_apply(p, x, adjs) ** 2)
+
+    def loss_t(p):
+        return jnp.sum(unet_apply(p, x, adjs, adj_ts=adj_ts) ** 2)
+
+    g0 = jax.jit(jax.grad(loss_plain))(params)
+    g1 = jax.jit(jax.grad(loss_t))(params)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
