@@ -214,10 +214,49 @@ def facet_conv(
     ``x`` [N, C], ``adj`` [N, K] one-indexed → [N, out]. Matches
     ``custom_conv2d`` (model.py:427-504) to float tolerance. ``adj_t``
     enables the scatter-free gather backward.
+
+    For the default and translation-invariant assignments, the assignment
+    projection and the feature gather share ONE combined [N, K, C+M] gather
+    (the projection commutes with the gather), halving gather count and index
+    processing versus two separate gathers.
     """
+    if variant in (FacetConvVariant.DEFAULT, FacetConvVariant.TRANSLATION_INVARIANT):
+        return _facet_conv_fused(params, x, adj, variant, bias_mask,
+                                 compute_dtype, adj_t)
     q = assignment_weights(params, x, adj, variant, adj_t=adj_t)
     return _finish_conv(q, x, adj, params["w"], params["b"], bias_mask,
                         compute_dtype, adj_t=adj_t)
+
+
+def _facet_conv_fused(params, x, adj, variant, bias_mask, compute_dtype, adj_t):
+    u, c, w, b = params["u"], params["c"], params["w"], params["b"]
+    dtype = compute_dtype or x.dtype
+    n, in_ch = x.shape
+
+    # translation invariance uses v = −u (u·(x_i − x_j) = u·x_i + (−u)·x_j)
+    proj = params["v"] if variant == FacetConvVariant.DEFAULT else -u
+    vx = x @ proj.T                                            # [N, M]
+    cat = jnp.concatenate([x.astype(dtype), vx.astype(dtype)], axis=-1)
+    cat_nbr = gather_neighbors(cat, adj, adj_t)                # [N, K, C+M]
+    x_nbr = cat_nbr[..., :in_ch]
+    vx_nbr = cat_nbr[..., in_ch:]
+
+    ux = x @ u.T                                               # [N, M]
+    logits = ux[:, None, :].astype(dtype) + vx_nbr + c.astype(dtype)
+    q = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+
+    deg = neighbor_counts(adj)
+    inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1), 0.0)
+    z = jnp.einsum("nkm,nkc->nmc", q, x_nbr,
+                   preferred_element_type=jnp.float32)
+    z = (z * inv_deg[:, None, None]).astype(dtype)
+    y = jnp.einsum("nmc,moc->no", z, w.astype(dtype),
+                   preferred_element_type=jnp.float32).astype(jnp.float32)
+    if bias_mask:
+        y = jnp.where((deg > 0)[:, None], y + b, y)
+    else:
+        y = y + b
+    return y
 
 
 def facet_conv_gather(

@@ -1,0 +1,92 @@
+"""Vertex-pipeline (end-to-end) training smoke test: gradients flow from the
+chamfer loss through the 120-iteration multi-scale solver into the U-Net."""
+
+import jax
+import numpy as np
+import pytest
+
+from facet_graph_convolution_tpu.config import default_config
+from facet_graph_convolution_tpu.data.dataset import TrainingSet
+from facet_graph_convolution_tpu.training.trainer import (
+    create_train_state,
+    make_vertex_train_step,
+)
+from tests.conftest import make_icosphere
+
+
+def test_vertex_train_step_runs_and_learns():
+    v, f = make_icosphere(1)      # 80 faces — keep the N² chamfer tiny
+    rng = np.random.default_rng(5)
+    noisy = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
+    ds = TrainingSet(
+        max_patch_size=20000, coarsening_steps=2, coarsening_levels=3,
+        k_faces=23, seed=0,
+    )
+    ds.add_mesh_with_vertices(noisy, f, gt_vertices=v)
+    patch = ds.patches[0]
+    assert patch.vertices is not None and patch.gt_vertices is not None
+
+    cfg = default_config().replace(
+        model={"channels": (4, 8, 16), "num_filters": 2, "fc_channels": 16},
+        train={"chamfer_samples": 32, "learning_rate": 1e-3},
+        eval={"ms_solver_iterations": (8, 4, 4)},
+    )
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg, multi_scale=True)
+    step = make_vertex_train_step(tx, cfg)
+
+    import jax.numpy as jnp
+
+    args = (
+        jnp.asarray(patch.inputs),
+        tuple(jnp.asarray(a) for a in patch.adjs),
+        jnp.asarray(patch.vertices),
+        jnp.asarray(patch.gt_vertices),
+        jnp.asarray(patch.faces),
+        jnp.asarray(patch.v_faces),
+        jnp.asarray(patch.gt_normals),
+    )
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(12):
+        key, sub = jax.random.split(key)
+        state, loss = step(state, *args, sub)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    # params moved and loss is not exploding
+    assert losses[-1] < losses[0] * 5
+
+
+def test_vertex_double_loss_step():
+    v, f = make_icosphere(1)
+    rng = np.random.default_rng(5)
+    noisy = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
+    ds = TrainingSet(
+        max_patch_size=20000, coarsening_steps=2, coarsening_levels=3,
+        k_faces=23, seed=0,
+    )
+    ds.add_mesh_with_vertices(noisy, f, gt_vertices=v)
+    patch = ds.patches[0]
+
+    cfg = default_config().replace(
+        model={"channels": (4, 8, 16), "num_filters": 2, "fc_channels": 16},
+        train={"chamfer_samples": 32},
+        eval={"ms_solver_iterations": (4, 2, 2)},
+    )
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg, multi_scale=True)
+    step = make_vertex_train_step(tx, cfg, normals_weight=1.0)
+
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(1)
+    state, loss = step(
+        state,
+        jnp.asarray(patch.inputs),
+        tuple(jnp.asarray(a) for a in patch.adjs),
+        jnp.asarray(patch.vertices),
+        jnp.asarray(patch.gt_vertices),
+        jnp.asarray(patch.faces),
+        jnp.asarray(patch.v_faces),
+        jnp.asarray(patch.gt_normals),
+        key,
+    )
+    assert np.isfinite(float(loss))
