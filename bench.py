@@ -122,7 +122,8 @@ def main():
                         help="measure on CPU and refresh BASELINE_CPU.json")
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--subdiv", type=int, default=5)
-    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--f32", action="store_true",
+                        help="disable the default bf16 compute path")
     args = parser.parse_args()
 
     if args.cpu:
@@ -130,7 +131,10 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    result = measure(steps=args.steps, subdiv=args.subdiv, bf16=args.bf16)
+    # bf16 interiors with f32 accumulation is the production TPU config;
+    # the CPU baseline stays f32 (bf16 is emulated and slow on CPU).
+    bf16 = not args.f32 and not args.cpu
+    result = measure(steps=args.steps, subdiv=args.subdiv, bf16=bf16)
 
     if args.cpu:
         with open(BASELINE_FILE, "w") as fh:
