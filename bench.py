@@ -74,29 +74,26 @@ def measure(steps=20, repeats=3, subdiv=5, bf16=False):
     state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
     step_fn = make_normals_train_step(tx, cfg)  # (state, x, adjs, gt, key)
 
-    from facet_graph_convolution_tpu.graph.convert import transpose_adjacency
+    from facet_graph_convolution_tpu.training.trainer import _patch_arrays
 
-    x = jnp.asarray(patch.inputs)
-    adjs = tuple(jnp.asarray(a) for a in patch.adjs)
-    adj_ts = tuple(jnp.asarray(transpose_adjacency(a)) for a in patch.adjs)
-    gt = jnp.asarray(patch.gt_normals)
+    x, adjs, gt, adj_ts, mults = _patch_arrays(patch)
 
     @jax.jit
-    def run_steps(state, keys, x, adjs, gt, adj_ts):
+    def run_steps(state, keys, x, adjs, gt, adj_ts, mults):
         def body(state, key):
-            state, loss = step_fn(state, x, adjs, gt, key, adj_ts)
+            state, loss = step_fn(state, x, adjs, gt, key, adj_ts, mults)
             return state, loss
 
         return jax.lax.scan(body, state, keys)
 
     keys = jax.random.split(jax.random.PRNGKey(1), steps)
-    state, losses = run_steps(state, keys, x, adjs, gt, adj_ts)  # compile+warmup
-    _ = float(losses[-1])
+    state, losses = run_steps(state, keys, x, adjs, gt, adj_ts, mults)
+    _ = float(losses[-1])                                   # compile+warmup
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        state, losses = run_steps(state, keys, x, adjs, gt, adj_ts)
+        state, losses = run_steps(state, keys, x, adjs, gt, adj_ts, mults)
         # block_until_ready does not reliably await on the axon tunnel;
         # force a value transfer to measure true completion
         _ = float(losses[-1])

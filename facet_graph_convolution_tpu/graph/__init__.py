@@ -13,12 +13,15 @@ multi-chip path.
 
 from facet_graph_convolution_tpu.graph.adjacency import (  # noqa: F401
     face_adjacency_klist,
+    vertex_adjacency_klist,
     vertex_ring_adjacency,
 )
 from facet_graph_convolution_tpu.graph.convert import (  # noqa: F401
     klist_to_coo,
     klist_to_coo_normal_weighted,
     coo_to_klist,
+    dedupe_klist,
+    transpose_adjacency,
     invert_permutation,
     klist_degrees,
 )

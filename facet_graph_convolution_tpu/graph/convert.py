@@ -90,6 +90,39 @@ def coo_to_klist(adj: scipy.sparse.spmatrix, k: int) -> Tuple[np.ndarray, bool]:
     return out, bool(np.any(~keep))
 
 
+def dedupe_klist(adj: np.ndarray):
+    """Collapse duplicate entries per row into (unique K-list, multiplicity).
+
+    The facet K-list lists edge-shared neighbours twice (utils.py:243 comment);
+    since the conv's per-edge assignment q depends only on (x_i, x_j), the
+    duplicate slots carry identical weights and the aggregation
+    ``Σ_slots q·x`` equals ``Σ_unique mult·q·x`` exactly. Gathering the unique
+    list cuts gather rows by the duplicate fraction (~13% on facet graphs).
+
+    Returns ``(adj_u [N, K'], mult [N, K'] float32)`` with K' = max distinct
+    row count; ``mult`` is 0 on padding slots so degree =
+    ``mult.sum(-1)`` = original non-zero count.
+    """
+    n, k = adj.shape
+    adj64 = adj.astype(np.int64)
+    # sort each row's entries (zeros first), count runs of equal values
+    order = np.argsort(adj64, axis=1, kind="stable")
+    sorted_adj = np.take_along_axis(adj64, order, axis=1)
+    new = np.ones_like(sorted_adj, dtype=bool)
+    new[:, 1:] = sorted_adj[:, 1:] != sorted_adj[:, :-1]
+    new &= sorted_adj > 0
+    # unique rank per row
+    rank = np.cumsum(new, axis=1) - 1
+    k_u = int(rank.max()) + 1 if n else 1
+    adj_u = np.zeros((n, k_u), dtype=np.int32)
+    mult = np.zeros((n, k_u), dtype=np.float32)
+    rows = np.broadcast_to(np.arange(n)[:, None], adj64.shape)
+    valid = sorted_adj > 0
+    np.maximum.at(adj_u, (rows[valid], rank[valid]), sorted_adj[valid].astype(np.int32))
+    np.add.at(mult, (rows[valid], rank[valid]), 1.0)
+    return adj_u, mult
+
+
 def transpose_adjacency(adj: np.ndarray) -> np.ndarray:
     """Transpose slot map for scatter-free gather backward.
 

@@ -84,6 +84,7 @@ def unet_apply(
     variant: FacetConvVariant = FacetConvVariant.DEFAULT,
     compute_dtype=None,
     adj_ts: Optional[Sequence[jnp.ndarray]] = None,
+    mults: Optional[Sequence[jnp.ndarray]] = None,
 ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Forward pass. ``x`` [N, C]; ``adjs`` = K-list adjacency per level
     (fine→coarse), length 1 or 3. With one level the pyramid collapses to the
@@ -91,10 +92,13 @@ def unet_apply(
     ``coarseningLvlNum=1``, dataClasses.py:148-150, train.py:487-488)."""
     if adj_ts is None:
         adj_ts = [None] * len(adjs)
-    tmap = dict(zip([id(a) for a in adjs], adj_ts))
+    if mults is None:
+        mults = [None] * len(adjs)
+    tmap = dict(zip([id(a) for a in adjs], zip(adj_ts, mults)))
     conv = lambda name, h, a: facet_conv(
         params[name], h, a, variant=variant, compute_dtype=compute_dtype,
-        adj_t=tmap.get(id(a)),
+        adj_t=tmap.get(id(a), (None, None))[0],
+        mult=tmap.get(id(a), (None, None))[1],
     )
 
     if len(adjs) == 1:

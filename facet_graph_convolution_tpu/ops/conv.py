@@ -208,6 +208,7 @@ def facet_conv(
     bias_mask: bool = True,
     compute_dtype=None,
     adj_t: Optional[jnp.ndarray] = None,
+    mult: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Facet graph convolution, fast path.
 
@@ -222,13 +223,14 @@ def facet_conv(
     """
     if variant in (FacetConvVariant.DEFAULT, FacetConvVariant.TRANSLATION_INVARIANT):
         return _facet_conv_fused(params, x, adj, variant, bias_mask,
-                                 compute_dtype, adj_t)
+                                 compute_dtype, adj_t, mult)
     q = assignment_weights(params, x, adj, variant, adj_t=adj_t)
     return _finish_conv(q, x, adj, params["w"], params["b"], bias_mask,
                         compute_dtype, adj_t=adj_t)
 
 
-def _facet_conv_fused(params, x, adj, variant, bias_mask, compute_dtype, adj_t):
+def _facet_conv_fused(params, x, adj, variant, bias_mask, compute_dtype, adj_t,
+                      mult=None):
     u, c, w, b = params["u"], params["c"], params["w"], params["b"]
     dtype = compute_dtype or x.dtype
     n, in_ch = x.shape
@@ -243,9 +245,17 @@ def _facet_conv_fused(params, x, adj, variant, bias_mask, compute_dtype, adj_t):
 
     ux = x @ u.T                                               # [N, M]
     logits = ux[:, None, :].astype(dtype) + vx_nbr + c.astype(dtype)
-    q = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+    q = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-    deg = neighbor_counts(adj)
+    if mult is not None:
+        # deduped adjacency: q weighted by slot multiplicity; padding slots
+        # have mult 0 (their q would otherwise be spurious — in the raw
+        # K-list the zero-row gather handles this through x_nbr = 0 alone)
+        q = q * mult[:, :, None]
+        deg = jnp.sum(mult, axis=-1)
+    else:
+        deg = neighbor_counts(adj)
+    q = q.astype(dtype)
     inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1), 0.0)
     z = jnp.einsum("nkm,nkc->nmc", q, x_nbr,
                    preferred_element_type=jnp.float32)

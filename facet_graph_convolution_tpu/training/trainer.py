@@ -94,7 +94,7 @@ def make_normals_train_step(
         jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
     )
 
-    def step(state: TrainState, x, adjs, gt, key, adj_ts=None):
+    def step(state: TrainState, x, adjs, gt, key, adj_ts=None, mults=None):
         rot_key, samp_key = jax.random.split(key)
         if augment:
             rot = random_rotation(rot_key)
@@ -105,7 +105,7 @@ def make_normals_train_step(
         def loss_fn(params):
             y = unet_apply(
                 params, x, adjs, coarsening_steps=steps,
-                compute_dtype=compute_dtype, adj_ts=adj_ts,
+                compute_dtype=compute_dtype, adj_ts=adj_ts, mults=mults,
             )
             y = normalize_tensor(y)
             return face_normals_loss(
@@ -138,18 +138,27 @@ def _bucketed(patch: FacetPatch, align: int) -> FacetPatch:
     return pad_patch_to(patch, bucket_size(patch.num_nodes, align))
 
 
-def _patch_arrays(patch: FacetPatch, with_transpose: bool = True):
-    from facet_graph_convolution_tpu.graph.convert import transpose_adjacency
+def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True):
+    """Compile the patch graph for the train step: dedupe duplicate K-list
+    slots into multiplicity weights and build transpose slot maps for the
+    scatter-free backward (both exact transformations — tests
+    test_transpose_gather.py)."""
+    from facet_graph_convolution_tpu.graph.convert import (
+        dedupe_klist,
+        transpose_adjacency,
+    )
 
     x = jnp.asarray(patch.inputs)
-    adjs = tuple(jnp.asarray(a) for a in patch.adjs)
     gt = jnp.asarray(patch.gt_normals)
-    adj_ts = (
-        tuple(jnp.asarray(transpose_adjacency(a)) for a in patch.adjs)
-        if with_transpose
-        else None
-    )
-    return x, adjs, gt, adj_ts
+    if not optimize_graph:
+        return x, tuple(jnp.asarray(a) for a in patch.adjs), gt, None, None
+    adjs, adj_ts, mults = [], [], []
+    for a in patch.adjs:
+        a_u, mult = dedupe_klist(a)
+        adjs.append(jnp.asarray(a_u))
+        mults.append(jnp.asarray(mult))
+        adj_ts.append(jnp.asarray(transpose_adjacency(a_u)))
+    return x, tuple(adjs), gt, tuple(adj_ts), tuple(mults)
 
 
 def train_normals(
@@ -193,9 +202,9 @@ def train_normals(
                 print("NaN training loss — aborting at checkpoint")
                 break
         idx = int(rng.integers(len(arrays)))
-        x, adjs, gt, adj_ts = arrays[idx]
+        x, adjs, gt, adj_ts, mults = arrays[idx]
         key, sub = jax.random.split(key)
-        state, loss = step_fn(state, x, adjs, gt, sub, adj_ts)
+        state, loss = step_fn(state, x, adjs, gt, sub, adj_ts, mults)
         smooth_loss += float(loss)
         smooth_n += 1
         if it % log_every == 0:
@@ -206,7 +215,7 @@ def train_normals(
             smooth_loss, smooth_n = 0.0, 0
         if valid_arrays and it % cfg.train.valid_every == 0:
             vloss = 0.0
-            for vx, vadjs, vgt, _vts in valid_arrays:
+            for vx, vadjs, vgt, _vts, _vm in valid_arrays:
                 key, sub = jax.random.split(key)
                 vloss += float(eval_fn(state.params, vx, vadjs, vgt, sub))
             last_valid = vloss / len(valid_arrays)

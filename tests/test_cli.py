@@ -1,0 +1,101 @@
+"""Integration test: the four CLIs chained end-to-end on a synthetic dataset
+laid out exactly like the reference expects (noisy "<name>_n1.obj" with GT
+"<name>.obj", settings.py:44-47)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from facet_graph_convolution_tpu.config import default_config
+from facet_graph_convolution_tpu.data.dataset import load_dataset
+from facet_graph_convolution_tpu.data.preprocess import preprocess_directory
+from facet_graph_convolution_tpu.evaluation.driver import compute_metrics
+from facet_graph_convolution_tpu.geometry import load_obj, write_obj
+from facet_graph_convolution_tpu.inference.driver import infer_directory
+from facet_graph_convolution_tpu.training.trainer import train_normals
+from tests.conftest import make_icosphere
+
+
+@pytest.fixture(scope="module")
+def data_tree(tmp_path_factory):
+    base = tmp_path_factory.mktemp("run")
+    cfg = default_config(str(base) + "/")
+    for d in (
+        cfg.data.training_data_path,
+        cfg.data.gt_data_path,
+        cfg.data.test_data_path,
+        cfg.data.test_gt_data_path,
+    ):
+        os.makedirs(d, exist_ok=True)
+
+    rng = np.random.default_rng(0)
+    v, f = make_icosphere(2)
+    # training pair
+    write_obj(v, f, os.path.join(cfg.data.gt_data_path, "sphere.obj"))
+    noisy = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
+    write_obj(noisy, f, os.path.join(cfg.data.training_data_path, "sphere_n1.obj"))
+    # test pair
+    write_obj(v, f, os.path.join(cfg.data.test_gt_data_path, "sphere.obj"))
+    noisy2 = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
+    write_obj(noisy2, f, os.path.join(cfg.data.test_data_path, "sphere_n1.obj"))
+
+    cfg = cfg.replace(
+        model={"channels": (8, 16, 32), "num_filters": 4, "fc_channels": 32},
+        train={
+            "loss_samples": 256,
+            "network_path": os.path.join(str(base), "Networks/") ,
+            "net_name": "net",
+            "save_every": 10000,
+            "eval_every": 100,
+        },
+        eval={"results_path": os.path.join(str(base), "Results/")},
+    )
+    return cfg
+
+
+def test_preprocess_train_infer_metrics(data_tree):
+    cfg = data_tree
+
+    # 1. preprocess
+    preprocess_directory(cfg, with_vertices=False)
+    train_npz = os.path.join(cfg.data.binary_dump_path, "trainingSet.npz")
+    assert os.path.isfile(train_npz)
+    ds = load_dataset(train_npz)
+    assert len(ds.patches) == 1
+
+    # 2. train (short)
+    state, hist = train_normals(cfg, ds, num_iterations=300, bucket_align=64,
+                                log_every=100)
+    assert np.isfinite(hist[:, 0]).all()
+
+    # 3. infer over the test directory
+    infer_directory(cfg.data.test_data_path, cfg, with_vertices=False)
+    result = os.path.join(cfg.eval.results_path, "sphere_n1_denoised.obj")
+    assert os.path.isfile(result)
+    assert os.path.isfile(
+        os.path.join(cfg.eval.results_path, "sphere_n1_inferred_normals.obj")
+    )
+
+    # denoised mesh loads and has the right topology
+    v, f, _ = load_obj(result)
+    _, f_ref = (None, None)
+    assert f.shape[1] == 3
+
+    # 4. metrics: heatmap + CSV row
+    compute_metrics(cfg)
+    csv_path = os.path.join(cfg.eval.results_path, "results_heat.csv")
+    assert os.path.isfile(csv_path)
+    rows = open(csv_path).read().strip().splitlines()
+    assert any("sphere_n1_denoised.obj" in r for r in rows)
+    assert os.path.isfile(
+        os.path.join(cfg.eval.results_path, "sphere_n1_heatmap.obj")
+    )
+
+    # re-running inference skips existing results (B_OVERWRITE semantics)
+    mtime = os.path.getmtime(result)
+    infer_directory(cfg.data.test_data_path, cfg, with_vertices=False)
+    assert os.path.getmtime(result) == mtime

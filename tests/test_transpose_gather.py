@@ -85,3 +85,35 @@ def test_unet_grads_match_with_transpose(rng):
     flat1 = jax.tree_util.tree_leaves(g1)
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_dedupe_klist_conv_parity(rng):
+    """Deduped adjacency + multiplicity weights reproduce the raw K-list conv
+    exactly (duplicate slots carry identical q)."""
+    from facet_graph_convolution_tpu.graph.convert import dedupe_klist
+    from facet_graph_convolution_tpu.ops.conv import facet_conv, init_facet_conv
+
+    n, k = 48, 9
+    adj = np.zeros((n, k), np.int32)
+    adj[:, 0] = np.arange(n) + 1
+    for i in range(n):
+        deg = int(rng.integers(1, k - 1))
+        nbrs = rng.choice(n, size=deg, replace=True)  # duplicates on purpose
+        adj[i, 1 : 1 + deg] = nbrs + 1
+    adj_u, mult = dedupe_klist(adj)
+    assert adj_u.shape[1] <= k
+    np.testing.assert_allclose(
+        mult.sum(axis=1), np.count_nonzero(adj, axis=1), rtol=1e-6
+    )
+
+    x = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    params = init_facet_conv(jax.random.PRNGKey(0), 6, 8, 4)
+
+    @jax.jit
+    def both(params, x):
+        raw = facet_conv(params, x, jnp.asarray(adj))
+        dd = facet_conv(params, x, jnp.asarray(adj_u), mult=jnp.asarray(mult))
+        return raw, dd
+
+    raw, dd = both(params, x)
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(dd), atol=2e-5)
