@@ -20,6 +20,7 @@ from facet_graph_convolution_tpu.parallel.mesh import (  # noqa: F401
 from facet_graph_convolution_tpu.parallel.data_parallel import (  # noqa: F401
     make_dp_train_step,
     stack_patches,
+    train_normals_dp,
 )
 from facet_graph_convolution_tpu.parallel.halo import (  # noqa: F401
     GraphPartition,

@@ -98,3 +98,48 @@ def make_dp_train_step(
         return TrainState(params, opt_state, state.step + 1), loss
 
     return step
+
+
+def train_normals_dp(
+    cfg: Config,
+    train_set,
+    mesh: Mesh,
+    num_iterations: Optional[int] = None,
+    log_every: int = 50,
+):
+    """Data-parallel training driver: every step samples one bucket-padded
+    patch per device along the ``data`` axis (the multi-patch generalization
+    of the reference's one-patch-per-step loop, train.py:549-624)."""
+    import jax.numpy as jnp
+
+    from facet_graph_convolution_tpu.training.trainer import create_train_state
+
+    batch = mesh.shape[cfg.shard.data_axis]
+    iters = num_iterations or cfg.train.num_iterations
+    target = max(p.num_nodes for p in train_set.patches)
+    group = (2 ** cfg.model.coarsening_steps) ** (cfg.model.coarsening_levels - 1)
+    target = ((target + group - 1) // group) * group
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    state, tx = create_train_state(key, cfg)
+    step_fn = make_dp_train_step(tx, cfg, mesh, axis=cfg.shard.data_axis)
+
+    rng = np.random.default_rng(cfg.train.seed)
+    losses = []
+    with mesh:
+        for it in range(iters):
+            picks = [
+                train_set.patches[int(rng.integers(len(train_set.patches)))]
+                for _ in range(batch)
+            ]
+            x, adjs, gt = stack_patches(picks, target)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, batch)
+            state, loss = step_fn(
+                state, jnp.asarray(x), tuple(jnp.asarray(a) for a in adjs),
+                jnp.asarray(gt), keys,
+            )
+            losses.append(float(loss))
+            if it % log_every == 0:
+                print(f"iter {it}: dp loss {losses[-1]:.4f}")
+    return state, np.asarray(losses)

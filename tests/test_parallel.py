@@ -141,3 +141,60 @@ def test_dp_step_runs(sphere_patch):
     w0 = np.asarray(state.params["conv1"]["w"])
     w1 = np.asarray(state1.params["conv1"]["w"])
     assert not np.allclose(w0, w1)
+
+
+def test_sharded_whole_mesh_inference_matches_patched():
+    """Sharded single-pass inference equals unsharded single-patch inference."""
+    from facet_graph_convolution_tpu.data.dataset import InferenceMesh
+    from facet_graph_convolution_tpu.inference.driver import infer_normals
+    from facet_graph_convolution_tpu.inference.sharded import infer_normals_sharded
+
+    v, f = make_icosphere(2)
+    rng = np.random.default_rng(3)
+    noisy = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
+    mesh_data = InferenceMesh(
+        max_patch_size=10**9, coarsening_steps=2, coarsening_levels=3,
+        k_faces=23, seed=0,
+    )
+    mesh_data.add_mesh(noisy, f)
+
+    cfg = default_config().replace(
+        model={"channels": (8, 16, 32), "num_filters": 4, "fc_channels": 32},
+        eval={"solver_iterations": 10},
+    )
+    params = init_unet(jax.random.PRNGKey(0), in_channels=6,
+                       channels=(8, 16, 32), num_filters=4, fc_channels=32)
+
+    pts_ref, n_ref = infer_normals(mesh_data, cfg, params=params,
+                                   solver_iterations=10)
+    dev_mesh = make_mesh((1, D), ("data", "graph"))
+    pts_sh, n_sh = infer_normals_sharded(mesh_data, cfg, params,
+                                         device_mesh=dev_mesh,
+                                         solver_iterations=10)
+    np.testing.assert_allclose(n_sh, n_ref, atol=1e-4)
+    np.testing.assert_allclose(pts_sh, pts_ref, atol=1e-4)
+
+
+def test_train_normals_dp_driver():
+    from facet_graph_convolution_tpu.data.dataset import TrainingSet
+    from facet_graph_convolution_tpu.parallel.data_parallel import train_normals_dp
+
+    v, f = make_icosphere(2)
+    rng = np.random.default_rng(3)
+    ds = TrainingSet(
+        max_patch_size=20000, coarsening_steps=2, coarsening_levels=3,
+        k_faces=23, seed=0,
+    )
+    for _ in range(2):
+        noisy = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
+        ds.add_mesh(noisy, f, gt_vertices=v)
+
+    cfg = default_config().replace(
+        model={"channels": (8, 16, 32), "num_filters": 4, "fc_channels": 32},
+        train={"loss_samples": 128},
+    )
+    mesh = make_mesh((8, 1), ("data", "graph"))
+    state, losses = train_normals_dp(cfg, ds, mesh, num_iterations=40,
+                                     log_every=20)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
