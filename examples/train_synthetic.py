@@ -87,7 +87,7 @@ def main():
     )
     state, hist = train_normals(
         cfg, train_set, num_iterations=args.iters, bucket_align=1024,
-        log_every=200,
+        log_every=200, steps_per_call=100,
     )
 
     # --- held-out evaluation ---

@@ -71,3 +71,18 @@ def test_checkpoint_resume(tiny_cfg, sphere_set):
     w_fresh = np.asarray(state.params["conv1"]["w"])
     w_restored = np.asarray(restored.params["conv1"]["w"])
     assert not np.allclose(w_fresh, w_restored)
+
+
+def test_scanned_training_matches_semantics(tiny_cfg, sphere_set, tmp_path):
+    """steps_per_call > 1 trains correctly (loss decreases, finite)."""
+    cfg = tiny_cfg.replace(
+        train={"network_path": str(tmp_path) + "/", "save_every": 1000,
+               "loss_samples": 256, "eval_every": 10, "valid_every": 1000,
+               "seed": 0},
+    )
+    state, hist = train_normals(
+        cfg, sphere_set, num_iterations=200, bucket_align=64,
+        steps_per_call=50,
+    )
+    assert np.isfinite(hist[:, 0]).all()
+    assert hist[-1, 0] < hist[0, 0] * 0.7
