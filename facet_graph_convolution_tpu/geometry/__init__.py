@@ -22,6 +22,7 @@ from facet_graph_convolution_tpu.geometry.obj_io import (  # noqa: F401
     load_off_pc,
     load_coff_pc,
     write_obj,
+    write_xyz,
     write_coff,
     colored_mesh,
     heatmap_mesh,

@@ -91,6 +91,11 @@ def write_obj(vertices: np.ndarray, faces: np.ndarray, path: str) -> None:
             fh.write("f %d %d %d \n" % (row[0], row[1], row[2]))
 
 
+def write_xyz(points: np.ndarray, path: str) -> None:
+    """Plain xyz point dump (reference ``write_xyz``, utils.py:643-644)."""
+    np.savetxt(path, np.asarray(points))
+
+
 def write_coff(points_with_colors: np.ndarray, path: str) -> None:
     """Colored point cloud in COFF format (reference ``write_coff``,
     utils.py:646-657). Columns: x y z r g b with colors in [0,1] or [0,255]."""

@@ -27,4 +27,5 @@ from facet_graph_convolution_tpu.parallel.halo import (  # noqa: F401
     build_partition,
     sharded_unet_apply,
     make_sharded_train_step,
+    train_normals_sharded,
 )

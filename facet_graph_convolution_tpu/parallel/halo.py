@@ -388,3 +388,48 @@ def make_sharded_train_step(
         return TrainState(params, opt_state, state.step + 1), loss
 
     return step
+
+
+def train_normals_sharded(
+    cfg: Config,
+    patch,                              # FacetPatch covering the whole mesh
+    mesh: Mesh,
+    num_iterations: int,
+    axis: str = "graph",
+    loss_samples: Optional[int] = None,
+    log_every: int = 50,
+    seed: int = 0,
+):
+    """Train on ONE large edge-partitioned mesh: the graph-parallel
+    counterpart of the per-patch loop — every step is a full-graph forward
+    over all shards with a fresh random loss-face sample (the analogue of the
+    reference's 4000-face sampling, train.py:415,561)."""
+    import numpy as np
+
+    from facet_graph_convolution_tpu.data.dataset import bucket_size, pad_patch_to
+    from facet_graph_convolution_tpu.training.trainer import create_train_state
+
+    n_dev = mesh.shape[axis]
+    group = (2 ** cfg.model.coarsening_steps) ** (cfg.model.coarsening_levels - 1)
+    padded = pad_patch_to(patch, bucket_size(patch.num_nodes, group * n_dev))
+    part = build_partition(padded.adjs, n_dev)
+
+    key = jax.random.PRNGKey(seed)
+    state, tx = create_train_state(key, cfg)
+    step = make_sharded_train_step(tx, cfg, part, mesh, axis=axis)
+
+    x = jnp.asarray(padded.inputs)
+    gt = jnp.asarray(padded.gt_normals)
+    n = padded.num_nodes
+    samples = loss_samples or cfg.train.loss_samples
+    rng = np.random.default_rng(seed)
+    losses = []
+    with mesh:
+        for it in range(num_iterations):
+            mask = np.zeros(n, np.float32)
+            mask[rng.integers(0, n, size=samples)] = 1.0
+            state, loss = step(state, x, gt, jnp.asarray(mask))
+            losses.append(float(loss))
+            if it % log_every == 0:
+                print(f"iter {it}: sharded loss {losses[-1]:.4f}")
+    return state, np.asarray(losses)
