@@ -99,3 +99,19 @@ def test_preprocess_train_infer_metrics(data_tree):
     mtime = os.path.getmtime(result)
     infer_directory(cfg.data.test_data_path, cfg, with_vertices=False)
     assert os.path.getmtime(result) == mtime
+
+
+def test_cli_entrypoints_run_as_modules(data_tree):
+    """The `python -m ...cli.*` entry points parse args and run (subprocess
+    smoke on the already-populated tree)."""
+    cfg = data_tree
+    base = cfg.data.base_path
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "facet_graph_convolution_tpu.cli.metrics",
+         "--base_path", base, "--results_path", cfg.eval.results_path],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
