@@ -7,3 +7,8 @@ from facet_graph_convolution_tpu.evaluation.metrics import (  # noqa: F401
     hausdorff_oversampled,
 )
 from facet_graph_convolution_tpu.evaluation.driver import compute_metrics  # noqa: F401
+from facet_graph_convolution_tpu.evaluation.parity import (  # noqa: F401
+    capture_activations,
+    compare_activations,
+    export_activations,
+)
