@@ -124,9 +124,12 @@ def make_normals_eval_step(cfg: Config):
     loss_samples = cfg.train.loss_samples
     steps = cfg.model.coarsening_steps
 
-    def eval_step(params, x, adjs, gt, key):
+    def eval_step(params, x, adjs, gt, key, adj_ts=None, mults=None):
         sample_idx = jax.random.randint(key, (loss_samples,), 0, x.shape[0])
-        y = normalize_tensor(unet_apply(params, x, adjs, coarsening_steps=steps))
+        y = normalize_tensor(
+            unet_apply(params, x, adjs, coarsening_steps=steps,
+                       adj_ts=adj_ts, mults=mults)
+        )
         return face_normals_loss(
             jnp.take(y, sample_idx, axis=0), jnp.take(gt, sample_idx, axis=0)
         )
@@ -285,9 +288,11 @@ def train_normals(
                 ckpt.save(start_step + it, state)
             if valid_arrays:
                 vloss = 0.0
-                for vx, vadjs, vgt, _vts, _vm in valid_arrays:
+                for vx, vadjs, vgt, vts, vm in valid_arrays:
                     key, sub = jax.random.split(key)
-                    vloss += float(eval_fn(state.params, vx, vadjs, vgt, sub))
+                    vloss += float(
+                        eval_fn(state.params, vx, vadjs, vgt, sub, vts, vm)
+                    )
                 last_valid = vloss / len(valid_arrays)
     else:
         for it in range(iters):
@@ -310,9 +315,11 @@ def train_normals(
                 smooth_loss, smooth_n = 0.0, 0
             if valid_arrays and it % cfg.train.valid_every == 0:
                 vloss = 0.0
-                for vx, vadjs, vgt, _vts, _vm in valid_arrays:
+                for vx, vadjs, vgt, vts, vm in valid_arrays:
                     key, sub = jax.random.split(key)
-                    vloss += float(eval_fn(state.params, vx, vadjs, vgt, sub))
+                    vloss += float(
+                        eval_fn(state.params, vx, vadjs, vgt, sub, vts, vm)
+                    )
                 last_valid = vloss / len(valid_arrays)
                 print(f"iter {it}: validation loss {last_valid:.4f}")
 

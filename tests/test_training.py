@@ -86,3 +86,43 @@ def test_scanned_training_matches_semantics(tiny_cfg, sphere_set, tmp_path):
     )
     assert np.isfinite(hist[:, 0]).all()
     assert hist[-1, 0] < hist[0, 0] * 0.7
+
+
+def test_validation_uses_multiplicity(tiny_cfg, sphere_set, tmp_path):
+    """Validation with the optimized graph (deduped + transpose + mult) must
+    equal the raw-adjacency forward exactly."""
+    import jax.numpy as jnp
+
+    from facet_graph_convolution_tpu.training.trainer import (
+        _patch_arrays,
+        create_train_state,
+        make_normals_eval_step,
+        make_normals_train_step,
+    )
+    from facet_graph_convolution_tpu.models.unet import unet_apply
+    from facet_graph_convolution_tpu.models.losses import face_normals_loss
+    from facet_graph_convolution_tpu.ops.normalization import normalize_tensor
+
+    patch = sphere_set.patches[0]
+    x_raw = jnp.asarray(patch.inputs)
+    adjs_raw = tuple(jnp.asarray(a) for a in patch.adjs)
+    gt = jnp.asarray(patch.gt_normals)
+    state, _ = create_train_state(jax.random.PRNGKey(0), tiny_cfg)
+
+    # full-face loss with the raw adjacency = ground truth
+    y_raw = normalize_tensor(jax.jit(unet_apply)(state.params, x_raw, adjs_raw))
+    ref = float(face_normals_loss(y_raw, gt))
+
+    x, adjs, gt2, adj_ts, mults = _patch_arrays(patch)
+    y_opt = normalize_tensor(
+        jax.jit(lambda p, xx: unet_apply(p, xx, adjs, adj_ts=adj_ts, mults=mults))(
+            state.params, x
+        )
+    )
+    opt = float(face_normals_loss(y_opt, gt2))
+    np.testing.assert_allclose(opt, ref, rtol=1e-5)
+
+    # NOTE: after coarsening, scipy COO summation has already deduplicated
+    # the K-lists (multiplicities are all 1, matching the reference), so the
+    # optimized graph differs from the raw one only by K-width trimming here;
+    # true-duplicate coverage lives in test_dedupe_klist_conv_parity.
