@@ -111,3 +111,38 @@ def test_metrics_functions(trained):
     # clean mesh against itself: ~0
     a, b, c, d = hausdorff_oversampled(v, v, v, dense)
     assert c < 1e-9
+
+
+def test_infer_with_vertices_end_to_end(tmp_path):
+    """Multi-scale vertex inference (reference inferNet): forward heads →
+    multi-scale solver → reassembly dict with finite outputs mapped back to
+    original face/vertex order."""
+    import jax
+
+    from facet_graph_convolution_tpu.inference.driver import infer_with_vertices
+    from facet_graph_convolution_tpu.training.trainer import create_train_state
+
+    v, f = make_icosphere(2)
+    rng = np.random.default_rng(3)
+    noisy = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
+    mesh = InferenceMesh(
+        max_patch_size=20000, coarsening_steps=2, coarsening_levels=3,
+        k_faces=23, seed=0,
+    )
+    mesh.add_mesh_with_vertices(noisy, f)
+
+    cfg = default_config().replace(
+        model={"channels": (8, 16, 32), "num_filters": 4, "fc_channels": 32},
+        eval={"ms_solver_iterations": (8, 4, 4)},
+    )
+    state, _ = create_train_state(jax.random.PRNGKey(0), cfg, multi_scale=True)
+    out = infer_with_vertices(mesh, cfg, params=state.params)
+
+    assert out["points"].shape == (mesh.num_vertices, 3)
+    assert out["fine_normals"].shape == (mesh.num_faces, 3)
+    for key in ("points", "points_mid", "points_coarse",
+                "fine_normals", "mid_normals", "coarse_normals"):
+        assert np.all(np.isfinite(out[key])), key
+    # normals normalized per face
+    lens = np.linalg.norm(out["fine_normals"], axis=1)
+    np.testing.assert_allclose(lens, 1.0, atol=0.05)
