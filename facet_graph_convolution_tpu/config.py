@@ -84,7 +84,8 @@ class ModelConfig:
     # Include vertex pipeline (multi-scale heads + vertex solver in training;
     # settings.py:29).
     include_vertices: bool = False
-    # Invariance flags — reference defaults are both False (model.py:841-842).
+    # Invariance flags — reference defaults are both False (model.py:841-842);
+    # resolved to the conv variant by the trainers.
     translation_invariance: bool = False
     rotation_invariance: bool = False
     # Compute dtype for conv/matmul interiors. Params stay float32.
@@ -103,13 +104,18 @@ class TrainConfig:
     loss_samples: int = 4000        # random faces sampled for loss (train.py:415)
     chamfer_samples: int = 500      # sampled points for chamfer loss (train.py:783)
     learning_rate: float = 1e-3     # Adam default (train.py:520 uses TF default)
-    dropout_keep_prob: float = 0.8  # withVerts training (train.py:812)
+    # NOTE: the reference feeds keep_prob=0.8 in the withVerts trainer
+    # (train.py:812) but get_model_reg_multi_scale never applies dropout —
+    # the knob is dead there and intentionally unimplemented here.
+    dropout_keep_prob: float = 0.8
     augment_rotations: bool = True  # per-iteration random rotation (train.py:436)
     seed: int = 0
     network_path: str = "Networks/Default/"
     net_name: str = "net"
     # Number of data-parallel patch replicas per step (TPU addition; the
-    # reference is locked to batch 1, train.py:405).
+    # reference is locked to batch 1, train.py:405). Consumed by
+    # parallel.data_parallel.train_normals_dp; the single-device trainer
+    # ignores it.
     batch_patches: int = 1
 
 

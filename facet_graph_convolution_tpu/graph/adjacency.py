@@ -8,8 +8,9 @@ appear twice, and connections beyond K−1 are dropped (reference
 
 The reference builds this with an O(V·deg²) Python loop; here the same
 insertion order is reproduced with sort/segment ops so the result is
-bit-identical (including which neighbours are dropped on overflow) while
-running ~100× faster on big meshes.
+bit-identical for non-degenerate meshes (including which neighbours are
+dropped on overflow) while running ~100× faster on big meshes. See
+:func:`face_adjacency_klist` for the documented degenerate-face deviation.
 """
 
 from __future__ import annotations
@@ -29,7 +30,17 @@ def face_adjacency_klist(
     b's list, dropping entries once a face has K−1 neighbours
     (utils.py:272-291). Incidence order is face-index ascending because faces
     are scanned in order (utils.py:256-266). We reproduce the exact same
-    insertion sequence via a global order key and a stable grouped rank.
+    insertion sequence via a global order key and a stable grouped rank —
+    bit-identical for meshes without degenerate triangles (machine-verified
+    on random meshes).
+
+    Known deviation: a degenerate face with a repeated vertex id. The
+    reference writes all three incidence slots before incrementing the
+    counters (utils.py:261-266), so the repeated vertex records the face
+    once and leaves a zero slot that later pairs as a phantom "face 0"
+    neighbour — a reference bug. Here the face is recorded once per
+    occurrence, producing a duplicate self-consistent entry instead of a
+    spurious edge to face 0.
     """
     faces = np.asarray(faces, dtype=np.int64)
     fnum = faces.shape[0]
@@ -39,8 +50,8 @@ def face_adjacency_klist(
         return (fadj, 0) if return_dropped else fadj
 
     # Incidence lists: faces scanned ascending → per-vertex incidence is
-    # face-ascending, except a face can list the same vertex more than once in
-    # a degenerate triangle; reference would add it twice — we follow.
+    # face-ascending. A degenerate triangle listing a vertex twice records
+    # the face twice here (see the docstring deviation note).
     vids = faces.reshape(-1)
     fids = np.repeat(np.arange(fnum), 3)
     order = np.lexsort((fids, vids))

@@ -19,6 +19,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 _LIB = None
+_LOAD_FAILED = False
 _LOCK = threading.Lock()
 
 
@@ -27,9 +28,11 @@ def _repo_root() -> str:
 
 
 def _load() -> ctypes.CDLL:
-    global _LIB
+    global _LIB, _LOAD_FAILED
     if os.environ.get("FGC_DISABLE_NATIVE"):
         raise ImportError("native disabled via FGC_DISABLE_NATIVE")
+    if _LOAD_FAILED:
+        raise ImportError("native build failed earlier in this process")
     with _LOCK:
         if _LIB is not None:
             return _LIB
@@ -38,18 +41,31 @@ def _load() -> ctypes.CDLL:
         build_dir = os.path.join(root, "native", "build")
         lib_path = os.path.join(build_dir, "libgraph.so")
         if not os.path.exists(src):
+            _LOAD_FAILED = True
             raise ImportError("native source not found")
-        if (not os.path.exists(lib_path)) or (
-            os.path.getmtime(lib_path) < os.path.getmtime(src)
-        ):
-            os.makedirs(build_dir, exist_ok=True)
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-                 src, "-o", lib_path],
-                check=True,
-                capture_output=True,
+        try:
+            if (not os.path.exists(lib_path)) or (
+                os.path.getmtime(lib_path) < os.path.getmtime(src)
+            ):
+                os.makedirs(build_dir, exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-std=c++17", src, "-o", lib_path],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(lib_path)
+        except Exception as exc:
+            # remember the failure so hot loops don't re-fork a failing
+            # compiler on every call; warn once
+            _LOAD_FAILED = True
+            import warnings
+
+            warnings.warn(
+                f"native graph kernels unavailable ({exc}); falling back to "
+                "NumPy paths (slower preprocessing)"
             )
-        lib = ctypes.CDLL(lib_path)
+            raise ImportError(str(exc))
 
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

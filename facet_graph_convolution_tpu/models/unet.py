@@ -47,12 +47,14 @@ def init_unet(
     multi_scale: bool = False,
     std_dev: float = 0.05,
     std_dev_bias: float = 0.01,
+    variant: FacetConvVariant = FacetConvVariant.DEFAULT,
 ) -> Dict:
     """Initialize U-Net parameters (reference init: N(0, 0.05) weights,
     N(0, 0.01) biases, model.py:31-44)."""
     c0, c1, c2 = channels
     keys = iter(jax.random.split(key, 16))
-    kw = dict(num_filters=num_filters, std_dev=std_dev, std_dev_bias=std_dev_bias)
+    kw = dict(num_filters=num_filters, std_dev=std_dev,
+              std_dev_bias=std_dev_bias, variant=variant)
     lw = dict(std_dev=std_dev, std_dev_bias=std_dev_bias)
     params = {
         "conv1": init_facet_conv(next(keys), in_channels, c0, **kw),
@@ -102,6 +104,12 @@ def unet_apply(
     )
 
     if len(adjs) == 1:
+        if multi_scale:
+            raise ValueError(
+                "multi_scale heads need the 3-level pyramid; got a single "
+                "adjacency level (the reference hard-codes 3 levels too, "
+                "settings.py:32)"
+            )
         h = lrelu(conv("conv1", x, adjs[0]), alpha)
         h = lrelu(conv("dconv1_single", h, adjs[0]), alpha) if "dconv1_single" in params else h
         h = lrelu(linear(params["fc1"], h), alpha)

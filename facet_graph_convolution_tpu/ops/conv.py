@@ -159,7 +159,14 @@ def _rotation_invariant_logits(u, c, x, adj) -> jnp.ndarray:
     if in_ch == 3:
         feats = n_rot
     elif in_ch == 4:
-        area_ratio = x_nbr[..., 3:] / x[:, None, 3:]
+        # guard the ratio for fake (zero-area) centre nodes: the reference
+        # divides raw (model.py:286, dead path) which yields NaN that
+        # normalize_tensor's global mean would smear over every node
+        center_area = x[:, None, 3:]
+        safe = jnp.where(jnp.abs(center_area) > 1e-12, center_area, 1.0)
+        area_ratio = jnp.where(
+            jnp.abs(center_area) > 1e-12, x_nbr[..., 3:] / safe, 0.0
+        )
         feats = jnp.concatenate([n_rot, area_ratio], axis=-1)
     elif in_ch == 6:
         rel = x_nbr[..., 3:] - x[:, None, 3:]
@@ -175,10 +182,16 @@ def _rotation_invariant_logits(u, c, x, adj) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _finish_conv(q, x, adj, w, b, bias_mask: bool, compute_dtype=None,
-                 adj_t=None):
-    """Aggregate-then-transform epilogue shared by all variants."""
+                 adj_t=None, mult=None):
+    """Aggregate-then-transform epilogue shared by all variants. ``mult``
+    carries deduped-adjacency slot multiplicities (see
+    :func:`facet_graph_convolution_tpu.graph.convert.dedupe_klist`)."""
     dtype = compute_dtype or x.dtype
-    deg = neighbor_counts(adj)
+    if mult is not None:
+        q = q * mult[:, :, None]
+        deg = jnp.sum(mult, axis=-1)
+    else:
+        deg = neighbor_counts(adj)
     inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1), 0.0).astype(dtype)
 
     x_nbr = gather_neighbors(x.astype(dtype), adj, adj_t)      # [N, K, C]
@@ -226,7 +239,7 @@ def facet_conv(
                                  compute_dtype, adj_t, mult)
     q = assignment_weights(params, x, adj, variant, adj_t=adj_t)
     return _finish_conv(q, x, adj, params["w"], params["b"], bias_mask,
-                        compute_dtype, adj_t=adj_t)
+                        compute_dtype, adj_t=adj_t, mult=mult)
 
 
 def _facet_conv_fused(params, x, adj, variant, bias_mask, compute_dtype, adj_t,

@@ -45,6 +45,7 @@ from facet_graph_convolution_tpu.models.losses import (
     full_chamfer_loss,
 )
 from facet_graph_convolution_tpu.models.unet import init_unet, unet_apply
+from facet_graph_convolution_tpu.ops.conv import FacetConvVariant
 from facet_graph_convolution_tpu.ops.normalization import normalize_tensor
 from facet_graph_convolution_tpu.ops.vertex_update import update_positions_multiscale
 from facet_graph_convolution_tpu.training.checkpoint import CheckpointManager
@@ -72,6 +73,7 @@ def create_train_state(
         multi_scale=multi_scale,
         std_dev=cfg.model.std_dev,
         std_dev_bias=cfg.model.std_dev_bias,
+        variant=_config_variant(cfg),
     )
     tx = optax.adam(cfg.train.learning_rate)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
@@ -93,6 +95,8 @@ def make_normals_train_step(
     compute_dtype = (
         jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
     )
+    variant = _config_variant(cfg)
+    alpha = cfg.model.lrelu_alpha
 
     def step(state: TrainState, x, adjs, gt, key, adj_ts=None, mults=None):
         rot_key, samp_key = jax.random.split(key)
@@ -106,6 +110,7 @@ def make_normals_train_step(
             y = unet_apply(
                 params, x, adjs, coarsening_steps=steps,
                 compute_dtype=compute_dtype, adj_ts=adj_ts, mults=mults,
+                variant=variant, alpha=alpha,
             )
             y = normalize_tensor(y)
             return face_normals_loss(
@@ -120,15 +125,28 @@ def make_normals_train_step(
     return jax.jit(step)
 
 
+def _config_variant(cfg: Config) -> FacetConvVariant:
+    """Resolve the conv variant from the config invariance flags (reference
+    bTransInvariant/bRotInvariant, model.py:841-842)."""
+    if cfg.model.rotation_invariance:
+        return FacetConvVariant.ROTATION_INVARIANT
+    if cfg.model.translation_invariance:
+        return FacetConvVariant.TRANSLATION_INVARIANT
+    return FacetConvVariant.DEFAULT
+
+
 def make_normals_eval_step(cfg: Config):
     loss_samples = cfg.train.loss_samples
     steps = cfg.model.coarsening_steps
+    variant = _config_variant(cfg)
+    alpha = cfg.model.lrelu_alpha
 
     def eval_step(params, x, adjs, gt, key, adj_ts=None, mults=None):
         sample_idx = jax.random.randint(key, (loss_samples,), 0, x.shape[0])
         y = normalize_tensor(
             unet_apply(params, x, adjs, coarsening_steps=steps,
-                       adj_ts=adj_ts, mults=mults)
+                       adj_ts=adj_ts, mults=mults, variant=variant,
+                       alpha=alpha)
         )
         return face_normals_loss(
             jnp.take(y, sample_idx, axis=0), jnp.take(gt, sample_idx, axis=0)
@@ -273,9 +291,20 @@ def train_normals(
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, steps_per_call)
             xs, s_adjs, gts, s_adj_ts, s_mults = stacked
-            state, losses = run(state, xs, s_adjs, gts, idxs, keys,
-                                s_adj_ts, s_mults)
-            losses = np.asarray(losses[:chunk])
+            if chunk == steps_per_call:
+                state, losses = run(state, xs, s_adjs, gts, idxs, keys,
+                                    s_adj_ts, s_mults)
+                losses = np.asarray(losses)
+            else:
+                # remainder chunk: per-step execution so exactly
+                # num_iterations optimizer updates are applied
+                rem = []
+                for j in range(chunk):
+                    x, adjs, gt, adj_ts, mults = arrays[int(idxs[j])]
+                    state, loss = step_fn(state, x, adjs, gt, keys[j],
+                                          adj_ts, mults)
+                    rem.append(float(loss))
+                losses = np.asarray(rem)
             it += chunk
             avg = float(losses.mean())
             loss_hist.append((avg, last_valid))
@@ -286,7 +315,7 @@ def train_normals(
                 break
             if it % cfg.train.save_every < chunk:
                 ckpt.save(start_step + it, state)
-            if valid_arrays:
+            if valid_arrays and (it % cfg.train.valid_every) < chunk:
                 vloss = 0.0
                 for vx, vadjs, vgt, vts, vm in valid_arrays:
                     key, sub = jax.random.split(key)
@@ -350,6 +379,8 @@ def make_vertex_train_step(
     steps = cfg.model.coarsening_steps
     samples = cfg.train.chamfer_samples
     iter_nums = cfg.eval.ms_solver_iterations
+    variant = _config_variant(cfg)
+    alpha = cfg.model.lrelu_alpha
 
     def step(state, x, adjs, vertices, gt_vertices, faces, v_faces, gt_normals, key):
         rot_key, s0_key, s1_key = jax.random.split(key, 3)
@@ -362,7 +393,8 @@ def make_vertex_train_step(
 
         def loss_fn(params):
             y0, y1, y2 = unet_apply(
-                params, x_rot, adjs, coarsening_steps=steps, multi_scale=True
+                params, x_rot, adjs, coarsening_steps=steps, multi_scale=True,
+                variant=variant, alpha=alpha,
             )
             n0 = normalize_tensor(y0)
             n1 = normalize_tensor(y1)
@@ -417,6 +449,21 @@ def train_with_vertices(
             )
         )
 
+    valid_args = []
+    if valid_set is not None:
+        for p in valid_set.patches:
+            valid_args.append(
+                (
+                    jnp.asarray(p.inputs),
+                    tuple(jnp.asarray(a) for a in p.adjs),
+                    jnp.asarray(p.vertices),
+                    jnp.asarray(p.gt_vertices),
+                    jnp.asarray(p.faces),
+                    jnp.asarray(p.v_faces),
+                    None if p.gt_normals is None else jnp.asarray(p.gt_normals),
+                )
+            )
+
     rng = np.random.default_rng(cfg.train.seed)
     loss_hist = []
     save_every = min(cfg.train.save_every, 500)   # reference uses 500 here
@@ -430,6 +477,17 @@ def train_with_vertices(
         loss_hist.append(float(loss))
         if it % 10 == 0:
             print(f"iter {it}: loss {float(loss):.4f}")
+        if valid_args and it % cfg.train.valid_every == 0:
+            # validation with the training step's loss at fixed params: run
+            # the forward/solver/chamfer without applying the update — reuse
+            # the step on a throwaway state copy (reference evaluates
+            # customLoss separately, train.py:859-888)
+            vloss = 0.0
+            for vargs in valid_args:
+                key, sub = jax.random.split(key)
+                _, vl = step_fn(state, *vargs, sub)
+                vloss += float(vl)
+            print(f"iter {it}: validation loss {vloss / len(valid_args):.4f}")
 
     ckpt.save(start_step + iters, state)
     ckpt.close()

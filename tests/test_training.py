@@ -126,3 +126,17 @@ def test_validation_uses_multiplicity(tiny_cfg, sphere_set, tmp_path):
     # the K-lists (multiplicities are all 1, matching the reference), so the
     # optimized graph differs from the raw one only by K-width trimming here;
     # true-duplicate coverage lives in test_dedupe_klist_conv_parity.
+
+
+def test_scanned_training_exact_iteration_count(tiny_cfg, sphere_set, tmp_path):
+    """num_iterations not a multiple of steps_per_call must still apply
+    exactly num_iterations optimizer updates (regression: overshoot)."""
+    cfg = tiny_cfg.replace(
+        train={"network_path": str(tmp_path) + "/", "save_every": 10000,
+               "loss_samples": 64, "eval_every": 10, "valid_every": 10000,
+               "seed": 0},
+    )
+    state, hist = train_normals(
+        cfg, sphere_set, num_iterations=70, bucket_align=64, steps_per_call=32
+    )
+    assert int(state.step) == 70

@@ -117,3 +117,40 @@ def test_dedupe_klist_conv_parity(rng):
 
     raw, dd = both(params, x)
     np.testing.assert_allclose(np.asarray(raw), np.asarray(dd), atol=2e-5)
+
+
+def test_dedupe_rotation_invariant_parity(rng):
+    """Regression: the rotation-invariant path must honor multiplicity too."""
+    from facet_graph_convolution_tpu.graph.convert import dedupe_klist
+    from facet_graph_convolution_tpu.ops.conv import (
+        FacetConvVariant,
+        facet_conv,
+        init_facet_conv,
+    )
+
+    n, k = 32, 9
+    adj = np.zeros((n, k), np.int32)
+    adj[:, 0] = np.arange(n) + 1
+    for i in range(n):
+        deg = int(rng.integers(1, k - 1))
+        adj[i, 1 : 1 + deg] = rng.choice(n, size=deg, replace=True) + 1
+    adj_u, mult = dedupe_klist(adj)
+    assert np.any(mult > 1)     # ensure the case actually has duplicates
+
+    x = rng.normal(size=(n, 6)).astype(np.float32)
+    x[:, :3] /= np.linalg.norm(x[:, :3], axis=1, keepdims=True)
+    params = init_facet_conv(
+        jax.random.PRNGKey(0), 6, 8, 4, variant=FacetConvVariant.ROTATION_INVARIANT
+    )
+
+    @jax.jit
+    def both(params, x):
+        raw = facet_conv(params, x, jnp.asarray(adj),
+                         variant=FacetConvVariant.ROTATION_INVARIANT)
+        dd = facet_conv(params, x, jnp.asarray(adj_u),
+                        variant=FacetConvVariant.ROTATION_INVARIANT,
+                        mult=jnp.asarray(mult))
+        return raw, dd
+
+    raw, dd = both(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(dd), atol=2e-5)
