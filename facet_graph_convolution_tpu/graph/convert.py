@@ -7,7 +7,7 @@ Parity targets: ``listToSparse`` (utils.py:1718-1750), ``listToSparseWNormals``
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import scipy.sparse
@@ -123,19 +123,25 @@ def dedupe_klist(adj: np.ndarray):
     return adj_u, mult
 
 
-def transpose_adjacency(adj: np.ndarray) -> np.ndarray:
+def transpose_adjacency(adj: np.ndarray, num_targets: Optional[int] = None) -> np.ndarray:
     """Transpose slot map for scatter-free gather backward.
 
-    For the one-indexed K-list ``adj`` [N, K], returns ``adj_t`` [N, K_t]
-    (one-indexed flat slots, 0 = pad) where ``adj_t[j]`` lists the flat slots
-    ``i*K + k`` such that ``adj[i, k] == j+1``. The cotangent of
-    ``x_nbr = x[adj]`` is then the *gather* ``dx[j] = Σ_k' g_flat[adj_t[j,k']]``
-    instead of an XLA scatter-add — scatters serialize on TPU, gathers don't.
+    For the one-indexed K-list ``adj`` [N, K], returns ``adj_t``
+    [num_targets, K_t] (one-indexed flat slots, 0 = pad) where ``adj_t[j]``
+    lists the flat slots ``i*K + k`` such that ``adj[i, k] == j+1``. The
+    cotangent of ``x_nbr = x[adj]`` is then the *gather*
+    ``dx[j] = Σ_k' g_flat[adj_t[j,k']]`` instead of an XLA scatter-add —
+    scatters serialize on TPU, gathers don't.
+
+    ``num_targets`` defaults to N (square source); pass the extended row
+    count when ``adj`` indexes into a halo-extended feature array.
 
     K_t is the maximum in-slot count (= max node degree incl. duplicate
     edge-shared entries, so ≈ K for the facet graph).
     """
     n, k = adj.shape
+    if num_targets is None:
+        num_targets = n
     flat = adj.reshape(-1).astype(np.int64)          # one-indexed targets
     slots = np.arange(n * k, dtype=np.int64)
     valid = flat > 0
@@ -144,14 +150,14 @@ def transpose_adjacency(adj: np.ndarray) -> np.ndarray:
     order = np.argsort(targets, kind="stable")
     targets, slots = targets[order], slots[order]
     if targets.size == 0:
-        return np.zeros((n, 1), dtype=np.int32)
+        return np.zeros((num_targets, 1), dtype=np.int32)
     new = np.ones(targets.shape[0], dtype=bool)
     new[1:] = targets[1:] != targets[:-1]
     starts = np.flatnonzero(new)
     counts = np.diff(np.append(starts, targets.shape[0]))
     k_t = int(counts.max())
     rank = np.arange(targets.shape[0]) - np.repeat(starts, counts)
-    adj_t = np.zeros((n, k_t), dtype=np.int32)
+    adj_t = np.zeros((num_targets, k_t), dtype=np.int32)
     adj_t[targets, rank] = slots + 1
     return adj_t
 

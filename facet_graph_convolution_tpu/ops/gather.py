@@ -21,13 +21,15 @@ def _gather_t(x, adj, adj_t):
 
 
 def _gather_t_fwd(x, adj, adj_t):
-    return _gather_t(x, adj, adj_t), (adj_t, x.shape[0])
+    return _gather_t(x, adj, adj_t), (adj_t,)
 
 
 def _gather_t_bwd(res, g):
-    adj_t, n = res
-    k = g.shape[1]
-    g_flat = g.reshape(n * k, g.shape[-1])
+    # g is [rows(adj), K, C]; adj_t flat slots index rows(adj)*K, and adj_t
+    # has one row per SOURCE row of x (which may exceed rows(adj) when x is a
+    # halo-extended array)
+    (adj_t,) = res
+    g_flat = g.reshape(-1, g.shape[-1])
     g_pad = jnp.concatenate([jnp.zeros_like(g_flat[:1]), g_flat], axis=0)
     dx = jnp.sum(jnp.take(g_pad, adj_t, axis=0), axis=1)
     return dx, None, None

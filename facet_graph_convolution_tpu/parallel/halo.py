@@ -62,6 +62,7 @@ class LevelPartition:
     block: int                       # n = num_nodes / D
     offsets: Tuple[int, ...]         # ring offsets (nonzero, e.g. (1, -1, 2))
     local_adj: np.ndarray
+    local_adj_t: np.ndarray          # [D, ext, K_t] transpose slot maps
     send_idx: np.ndarray
     recv_mask: np.ndarray
     halo_size: int                   # H per offset (uniform, padded)
@@ -136,11 +137,24 @@ def _partition_level(adj: np.ndarray, num_shards: int) -> LevelPartition:
         out[remote_mask] = np.asarray([slot_of[int(g)] for g in flat]) + 1
         local_adj[s] = out
 
+    # transpose slot maps over the halo-extended index space, for the
+    # scatter-free gather backward inside each shard
+    from facet_graph_convolution_tpu.graph.convert import transpose_adjacency
+
+    ext = block + num_off * halo
+    t_maps = [transpose_adjacency(local_adj[s], num_targets=ext)
+              for s in range(num_shards)]
+    k_t = max(t.shape[1] for t in t_maps)
+    local_adj_t = np.zeros((num_shards, ext, k_t), dtype=np.int32)
+    for s, t in enumerate(t_maps):
+        local_adj_t[s, :, : t.shape[1]] = t
+
     return LevelPartition(
         num_nodes=n_total,
         block=block,
         offsets=offsets,
         local_adj=local_adj,
+        local_adj_t=local_adj_t,
         send_idx=send_idx.clip(min=0),  # -1 → 0 (sends row 0; receiver masks)
         recv_mask=recv_mask,
         halo_size=halo,
@@ -161,10 +175,12 @@ def build_partition(
 
 
 def partition_operands(part: GraphPartition):
-    """Per-level device operands: (local_adj, send_idx, recv_mask) triples."""
+    """Per-level device operands:
+    (local_adj, local_adj_t, send_idx, recv_mask) tuples."""
     return tuple(
         (
             jnp.asarray(lvl.local_adj),
+            jnp.asarray(lvl.local_adj_t),
             jnp.asarray(lvl.send_idx),
             jnp.asarray(lvl.recv_mask),
         )
@@ -193,18 +209,21 @@ def _halo_extend(x, send_idx, recv_mask, offsets, axis):
     return jnp.concatenate(parts, axis=0)
 
 
-def _sharded_conv(params, x, adj, send_idx, recv_mask, offsets, axis,
+def _sharded_conv(params, x, adj, adj_t, send_idx, recv_mask, offsets, axis,
                   variant=FacetConvVariant.DEFAULT):
     """Facet conv on one shard: halo-extend then aggregate-transform.
 
     Matches :func:`facet_graph_convolution_tpu.ops.conv.facet_conv` on the
     full graph: ``adj`` rows hold each owned node's complete neighbour list,
-    so degrees (and the bias mask) are globally exact.
+    so degrees (and the bias mask) are globally exact. ``adj_t`` (over the
+    halo-extended index space) makes the gather backward scatter-free; the
+    halo rows' cotangents ride the reversed ppermute automatically.
     """
+    from facet_graph_convolution_tpu.ops.gather import gather_neighbors
+
     u, c = params["u"], params["c"]
     x_ext = _halo_extend(x, send_idx, recv_mask, offsets, axis)
-    ext_pad = jnp.concatenate([jnp.zeros_like(x_ext[:1]), x_ext], axis=0)
-    x_nbr = jnp.take(ext_pad, adj, axis=0)               # [n, K, C]
+    x_nbr = gather_neighbors(x_ext, adj, adj_t)          # [n, K, C]
 
     if variant == FacetConvVariant.DEFAULT:
         ux = x @ u.T
@@ -260,16 +279,16 @@ def sharded_unet_forward_local(
     """U-Net forward on one shard (runs inside shard_map). Mirrors
     ``unet_apply`` layer-for-layer with halo-extended convs and local tree
     pool/unpool (partition alignment keeps sibling groups shard-local)."""
-    (adj0, s0, m0), (adj1, s1, m1), (adj2, s2, m2) = level_operands
+    (adj0, t0, s0, m0), (adj1, t1, s1, m1), (adj2, t2, s2, m2) = level_operands
     o0, o1, o2 = offsets_per_level
     conv = _sharded_conv
 
-    h1 = lrelu(conv(params["conv1"], x, adj0, s0, m0, o0, axis), alpha)
+    h1 = lrelu(conv(params["conv1"], x, adj0, t0, s0, m0, o0, axis), alpha)
     p1 = tree_pool(h1, steps=coarsening_steps, mode="max")
-    h2 = lrelu(conv(params["conv2"], p1, adj1, s1, m1, o1, axis), alpha)
+    h2 = lrelu(conv(params["conv2"], p1, adj1, t1, s1, m1, o1, axis), alpha)
     p2 = tree_pool(h2, steps=coarsening_steps, mode="max")
-    h3 = lrelu(conv(params["conv3"], p2, adj2, s2, m2, o2, axis), alpha)
-    d3 = lrelu(conv(params["dconv3"], h3, adj2, s2, m2, o2, axis), alpha)
+    h3 = lrelu(conv(params["conv3"], p2, adj2, t2, s2, m2, o2, axis), alpha)
+    d3 = lrelu(conv(params["dconv3"], h3, adj2, t2, s2, m2, o2, axis), alpha)
 
     y_coarse = None
     if multi_scale:
@@ -277,9 +296,10 @@ def sharded_unet_forward_local(
         y_coarse = hc @ params["out2"]["w"] + params["out2"]["b"]
 
     u2 = tree_unpool(d3, steps=coarsening_steps)
-    u2 = conv(params["upconv2"], u2, adj1, s1, m1, o1, axis)
+    u2 = conv(params["upconv2"], u2, adj1, t1, s1, m1, o1, axis)
     d2 = lrelu(
-        conv(params["dconv2"], jnp.concatenate([u2, h2], axis=-1), adj1, s1, m1, o1, axis),
+        conv(params["dconv2"], jnp.concatenate([u2, h2], axis=-1),
+             adj1, t1, s1, m1, o1, axis),
         alpha,
     )
     y_mid = None
@@ -288,9 +308,10 @@ def sharded_unet_forward_local(
         y_mid = hm @ params["out1"]["w"] + params["out1"]["b"]
 
     u1 = tree_unpool(d2, steps=coarsening_steps)
-    u1 = conv(params["upconv1"], u1, adj0, s0, m0, o0, axis)
+    u1 = conv(params["upconv1"], u1, adj0, t0, s0, m0, o0, axis)
     d1 = lrelu(
-        conv(params["dconv1"], jnp.concatenate([u1, h1], axis=-1), adj0, s0, m0, o0, axis),
+        conv(params["dconv1"], jnp.concatenate([u1, h1], axis=-1),
+             adj0, t0, s0, m0, o0, axis),
         alpha,
     )
     h = lrelu(d1 @ params["fc1"]["w"] + params["fc1"]["b"], alpha)
@@ -318,13 +339,13 @@ def sharded_unet_apply(
     in_specs = (
         P(),
         P(axis),
-        tuple((P(axis), P(axis), P(axis)) for _ in operands),
+        tuple((P(axis), P(axis), P(axis), P(axis)) for _ in operands),
     )
 
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(axis))
     def run(params, x_block, level_ops):
         level_ops = tuple(
-            (a[0], s[0], m[0]) for (a, s, m) in level_ops
+            (a[0], t[0], s[0], m[0]) for (a, t, s, m) in level_ops
         )
         y = sharded_unet_forward_local(
             params, x_block, level_ops, offsets, axis,
@@ -356,7 +377,7 @@ def make_sharded_train_step(
         P(axis),
         P(axis),
         P(axis),
-        tuple((P(axis), P(axis), P(axis)) for _ in operands),
+        tuple((P(axis), P(axis), P(axis), P(axis)) for _ in operands),
     )
 
     @partial(
@@ -364,7 +385,7 @@ def make_sharded_train_step(
         in_specs=in_specs, out_specs=(P(), P()),
     )
     def loss_and_grads(params, x_block, gt_block, mask_block, level_ops):
-        level_ops = tuple((a[0], s[0], m[0]) for (a, s, m) in level_ops)
+        level_ops = tuple((a[0], t[0], s[0], m[0]) for (a, t, s, m) in level_ops)
 
         def loss_fn(params):
             y = sharded_unet_forward_local(

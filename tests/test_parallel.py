@@ -198,3 +198,63 @@ def test_train_normals_dp_driver():
                                      log_every=20)
     assert np.isfinite(losses).all()
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_sharded_grads_match_single_device(sphere_patch):
+    """Gradients through the sharded step (halo exchange + scatter-free
+    backward) must equal the single-device gradients."""
+    import optax
+
+    from facet_graph_convolution_tpu.models.losses import face_normals_loss
+    from facet_graph_convolution_tpu.ops.normalization import normalize_tensor
+
+    cfg = default_config().replace(
+        model={"channels": (8, 16, 32), "num_filters": 4, "fc_channels": 32},
+    )
+    mesh = make_mesh((1, D), ("data", "graph"))
+    part = build_partition(sphere_patch.adjs, D)
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(sphere_patch.inputs)
+    gt = jnp.asarray(sphere_patch.gt_normals)
+    adjs = tuple(jnp.asarray(a) for a in sphere_patch.adjs)
+
+    def single_loss(params):
+        y = normalize_tensor(unet_apply(params, x, adjs))
+        return face_normals_loss(y, gt)
+
+    g_single = jax.jit(jax.grad(single_loss))(state.params)
+
+    from facet_graph_convolution_tpu.parallel.halo import (
+        _sharded_face_normals_loss,
+        _sharded_normalize_tensor,
+        partition_operands,
+        sharded_unet_forward_local,
+    )
+    from functools import partial as fpartial
+    from jax.sharding import PartitionSpec as P
+
+    operands = partition_operands(part)
+    offsets = tuple(lvl.offsets for lvl in part.levels)
+    in_specs = (P(), P("graph"), P("graph"),
+                tuple((P("graph"),) * 4 for _ in operands))
+
+    @fpartial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P())
+    def sharded_grads(params, x_b, gt_b, level_ops):
+        level_ops = tuple((a[0], t[0], s[0], m[0]) for (a, t, s, m) in level_ops)
+
+        def loss_fn(params):
+            y = sharded_unet_forward_local(
+                params, x_b, level_ops, offsets, "graph", coarsening_steps=2
+            )
+            y = _sharded_normalize_tensor(y, "graph")
+            mask = jnp.ones((x_b.shape[0],), jnp.float32)
+            return _sharded_face_normals_loss(y, gt_b, mask, "graph")
+
+        return jax.lax.pmean(jax.grad(loss_fn)(params), "graph")
+
+    with mesh:
+        g_sharded = jax.jit(sharded_grads)(state.params, x, gt, operands)
+
+    for a, b in zip(jax.tree_util.tree_leaves(g_single),
+                    jax.tree_util.tree_leaves(g_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
