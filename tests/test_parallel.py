@@ -258,3 +258,36 @@ def test_sharded_grads_match_single_device(sphere_patch):
     for a, b in zip(jax.tree_util.tree_leaves(g_single),
                     jax.tree_util.tree_leaves(g_sharded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_partition_handles_non_banded_graphs(rng):
+    """Random (non-banded) adjacency: cross-shard edges span arbitrary shard
+    offsets; the halo exchange must still reproduce single-device results."""
+    n, k = 16 * D, 7
+    adjs = []
+    sz = n
+    for _ in range(3):
+        adj = np.zeros((sz, k), np.int32)
+        adj[:, 0] = np.arange(sz) + 1
+        for i in range(sz):
+            deg = int(rng.integers(1, k - 1))
+            # global random neighbours → many far shard offsets
+            adj[i, 1 : 1 + deg] = rng.choice(sz, size=deg, replace=False) + 1
+        adjs.append(adj)
+        sz //= 4
+    part = build_partition(adjs, D)
+    # far offsets present (not just ±1)
+    assert max(abs(d) for d in part.levels[0].offsets) > 1
+
+    params = init_unet(jax.random.PRNGKey(0), in_channels=6,
+                       channels=(8, 16, 32), num_filters=4, fc_channels=32)
+    x = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    ref = normalize_tensor(
+        jax.jit(unet_apply)(params, x, tuple(jnp.asarray(a) for a in adjs))
+    )
+    mesh = make_mesh((1, D), ("data", "graph"))
+    with mesh:
+        out = jax.jit(
+            lambda p, xx: sharded_unet_apply(p, xx, part, mesh)
+        )(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
