@@ -205,10 +205,23 @@ def add_cli_overrides(parser: argparse.ArgumentParser) -> argparse.ArgumentParse
     parser.add_argument("--coarsening_steps", type=int, default=None)
     parser.add_argument("--input_dir", type=str, default=None)
     parser.add_argument("--include_vertices", action="store_true", default=None)
+    # reference-parity flags (train.py:1949-1951): --device selects the JAX
+    # platform ("tpu"/"cpu"; the reference takes "/gpu:0"-style strings);
+    # --running_mode is accepted and ignored like the reference (parsed at
+    # train.py:1951, never branched on — mainFunction ignores it).
+    parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--running_mode", type=int, default=0)
     return parser
 
 
 def config_from_args(args: argparse.Namespace) -> Config:
+    if getattr(args, "device", None):
+        import jax
+
+        # accept bare platform names and the reference's "/gpu:0" style
+        platform = args.device.strip("/").split(":")[0]
+        if platform in ("cpu", "tpu", "gpu"):
+            jax.config.update("jax_platforms", platform)
     cfg = default_config(args.base_path)
     train_updates, eval_updates, model_updates = {}, {}, {}
     if getattr(args, "results_path", None):

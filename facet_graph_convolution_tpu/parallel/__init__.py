@@ -22,6 +22,10 @@ from facet_graph_convolution_tpu.parallel.data_parallel import (  # noqa: F401
     stack_patches,
     train_normals_dp,
 )
+from facet_graph_convolution_tpu.parallel.tensor_parallel import (  # noqa: F401
+    shard_unet_params,
+    unet_param_shardings,
+)
 from facet_graph_convolution_tpu.parallel.halo import (  # noqa: F401
     GraphPartition,
     build_partition,

@@ -291,3 +291,27 @@ def test_partition_handles_non_banded_graphs(rng):
             lambda p, xx: sharded_unet_apply(p, xx, part, mesh)
         )(params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_tensor_parallel_fc_sharding(rng):
+    """Megatron-style fc sharding: the forward under sharded params matches
+    the replicated forward."""
+    from facet_graph_convolution_tpu.parallel.tensor_parallel import (
+        shard_unet_params,
+    )
+    from tests.test_models import make_pyramid_graph
+
+    adjs = make_pyramid_graph(rng)
+    x = jnp.asarray(rng.normal(size=(64, 6)).astype(np.float32))
+    params = init_unet(jax.random.PRNGKey(0), in_channels=6,
+                       channels=(8, 16, 32), num_filters=4, fc_channels=64)
+    ref = np.asarray(jax.jit(unet_apply)(params, x, adjs))
+
+    mesh = make_mesh((1, D), ("data", "graph"))
+    with mesh:
+        sharded = shard_unet_params(params, mesh, axis="graph")
+        out = np.asarray(jax.jit(unet_apply)(sharded, x, adjs))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    # fc1 weight really is sharded over the hidden axis
+    sh = sharded["fc1"]["w"].sharding
+    assert sh.spec == jax.sharding.PartitionSpec(None, "graph")
