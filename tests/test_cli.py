@@ -115,3 +115,56 @@ def test_cli_entrypoints_run_as_modules(data_tree):
         capture_output=True, text=True, env=env, timeout=300,
     )
     assert out.returncode == 0, out.stderr[-2000:]
+
+
+def test_vertex_pipeline_cli_chain(tmp_path_factory):
+    """preprocess --with-vertices → train_with_vertices → infer_with_vertices
+    through the same surfaces the CLIs use."""
+    import numpy as np
+
+    from facet_graph_convolution_tpu.data.dataset import load_dataset
+    from facet_graph_convolution_tpu.geometry import write_obj
+    from facet_graph_convolution_tpu.training.trainer import train_with_vertices
+    from tests.conftest import make_icosphere
+
+    base = tmp_path_factory.mktemp("vrun")
+    cfg = default_config(str(base) + "/").replace(
+        model={"channels": (4, 8, 16), "num_filters": 2, "fc_channels": 16,
+               "include_vertices": True},
+        train={
+            "chamfer_samples": 32,
+            "network_path": os.path.join(str(base), "Networks/"),
+            "save_every": 10000,
+            "valid_every": 10000,
+        },
+        eval={
+            "results_path": os.path.join(str(base), "Results/"),
+            "ms_solver_iterations": (4, 2, 2),
+        },
+    )
+    for d in (cfg.data.training_data_path, cfg.data.gt_data_path,
+              cfg.data.test_data_path):
+        os.makedirs(d, exist_ok=True)
+    v, f = make_icosphere(1)
+    rng = np.random.default_rng(0)
+    write_obj(v, f, os.path.join(cfg.data.gt_data_path, "s.obj"))
+    noisy = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
+    write_obj(noisy, f, os.path.join(cfg.data.training_data_path, "s_n1.obj"))
+    write_obj(noisy, f, os.path.join(cfg.data.test_data_path, "s_n1.obj"))
+
+    preprocess_directory(cfg, with_vertices=True)
+    path = os.path.join(cfg.data.binary_dump_path, "trainingSetWithVertices.npz")
+    assert os.path.isfile(path)
+    ds = load_dataset(path)
+    assert ds.patches[0].vertices is not None
+
+    state, losses = train_with_vertices(cfg, ds, num_iterations=5)
+    assert np.isfinite(losses).all()
+
+    infer_directory(cfg.data.test_data_path, cfg, with_vertices=True,
+                    params=state.params)
+    assert os.path.isfile(os.path.join(cfg.eval.results_path, "s_n1_denoised.obj"))
+    assert os.path.isfile(os.path.join(cfg.eval.results_path, "s_n1_d_mid.obj"))
+    assert os.path.isfile(
+        os.path.join(cfg.eval.results_path, "s_n1_fine_normals_s.obj")
+    )

@@ -129,3 +129,29 @@ def test_pad_patch_to():
         pad_rows[:, 0], np.arange(p.num_nodes, target) + 1
     )
     assert np.all(pad_rows[:, 1:] == 0)
+
+
+def test_parallel_preprocessing(tmp_path):
+    """Multi-mesh preprocessing fans out over processes and aggregates."""
+    import os
+
+    from facet_graph_convolution_tpu.config import default_config
+    from facet_graph_convolution_tpu.data.preprocess import _build_set
+    from facet_graph_convolution_tpu.geometry import write_obj
+
+    cfg = default_config(str(tmp_path) + "/")
+    os.makedirs(cfg.data.training_data_path, exist_ok=True)
+    os.makedirs(cfg.data.gt_data_path, exist_ok=True)
+    v, f = make_icosphere(2)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        write_obj(v, f, os.path.join(cfg.data.gt_data_path, f"m{i}.obj"))
+        noisy = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
+        write_obj(noisy, f, os.path.join(cfg.data.training_data_path, f"m{i}_n1.obj"))
+
+    ds = _build_set(cfg.data.training_data_path, cfg.data.gt_data_path, cfg,
+                    with_vertices=False, num_workers=3)
+    assert len(ds.patches) == 3
+    for p in ds.patches:
+        assert p.gt_normals is not None
+        assert p.num_real == f.shape[0]
