@@ -87,21 +87,34 @@ def unet_apply(
     compute_dtype=None,
     adj_ts: Optional[Sequence[jnp.ndarray]] = None,
     mults: Optional[Sequence[jnp.ndarray]] = None,
+    remat: bool = False,
 ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Forward pass. ``x`` [N, C]; ``adjs`` = K-list adjacency per level
     (fine→coarse), length 1 or 3. With one level the pyramid collapses to the
     single-scale conv stack (the reference supports this via
-    ``coarseningLvlNum=1``, dataClasses.py:148-150, train.py:487-488)."""
+    ``coarseningLvlNum=1``, dataClasses.py:148-150, train.py:487-488).
+
+    ``remat=True`` checkpoints each conv: the backward recomputes the
+    neighbour gather instead of saving/reloading the [N, K, C] residual —
+    trades one extra gather per conv for the residual's HBM round-trip."""
     if adj_ts is None:
         adj_ts = [None] * len(adjs)
     if mults is None:
         mults = [None] * len(adjs)
     tmap = dict(zip([id(a) for a in adjs], zip(adj_ts, mults)))
-    conv = lambda name, h, a: facet_conv(
-        params[name], h, a, variant=variant, compute_dtype=compute_dtype,
-        adj_t=tmap.get(id(a), (None, None))[0],
-        mult=tmap.get(id(a), (None, None))[1],
-    )
+
+    def conv(name, h, a):
+        adj_t, mult = tmap.get(id(a), (None, None))
+
+        def apply(p, h):
+            return facet_conv(
+                p, h, a, variant=variant, compute_dtype=compute_dtype,
+                adj_t=adj_t, mult=mult,
+            )
+
+        if remat:
+            apply = jax.checkpoint(apply)
+        return apply(params[name], h)
 
     if len(adjs) == 1:
         if multi_scale:
