@@ -235,3 +235,46 @@ def test_grow_mesh_patch(icosphere):
     assert pv.shape[0] == v_old.shape[0]
     # faces reference patch-local vertices consistently
     np.testing.assert_allclose(pv[pf[0]], v[np.asarray(f, np.int64)[f_old[0]]])
+
+
+def test_vertex_ring_adjacency_ordered(icosphere):
+    """The one-ring walk produces consecutive ring neighbours (reference
+    load_mesh bGetAdj path, utils.py:566-629)."""
+    from facet_graph_convolution_tpu.graph import vertex_ring_adjacency
+
+    v, f = icosphere
+    adj = vertex_ring_adjacency(v, f, k=12)
+    assert adj.shape == (v.shape[0], 12)
+    np.testing.assert_array_equal(adj[:, 0], np.arange(v.shape[0]) + 1)
+    faces = np.asarray(f, np.int64)
+    # every consecutive pair in the ring shares a face with the centre:
+    # (v, ring[i], ring[i+1]) is a triangle of the mesh
+    tri_set = {frozenset(t) for t in faces.tolist()}
+    for vert in range(0, v.shape[0], 7):
+        ring = [int(a) - 1 for a in adj[vert, 1:] if a > 0]
+        for a, b in zip(ring, ring[1:]):
+            assert frozenset((vert, a, b)) in tri_set
+    # ring covers the vertex degree (closed manifold: degree = #incident faces)
+    from facet_graph_convolution_tpu.geometry import vertex_faces
+
+    vf = vertex_faces(f, k_v=12)
+    for vert in range(0, v.shape[0], 7):
+        deg = int(np.sum(vf[vert] >= 0))
+        ring_len = int(np.sum(adj[vert, 1:] > 0))
+        assert ring_len == deg
+
+
+def test_vertex_adjacency_klist(cube):
+    from facet_graph_convolution_tpu.graph import vertex_adjacency_klist
+
+    v, f = cube
+    adj = vertex_adjacency_klist(v, f, k=23)
+    np.testing.assert_array_equal(adj[:, 0], np.arange(8) + 1)
+    # every listed neighbour shares a face with the vertex
+    faces = np.asarray(f, np.int64)
+    for vert in range(8):
+        for nbr in adj[vert, 1:]:
+            if nbr == 0:
+                continue
+            shared = any(vert in t and (nbr - 1) in t for t in faces.tolist())
+            assert shared
