@@ -74,12 +74,17 @@ def infer_normals_sharded(
     normals = normalize_rows(out[: patch.num_real].astype(np.float32))
 
     iters = solver_iterations or cfg.eval.solver_iterations
-    refined = update_positions_edges(
-        jnp.asarray(mesh_data.vertices),
-        jnp.asarray(normals),
-        jnp.asarray(mesh_data.edge_map),
-        jnp.asarray(mesh_data.v_e_map),
-        iter_num=iters,
-        checkpoint=False,
+    from facet_graph_convolution_tpu.parallel.vertex_halo import (
+        sharded_update_positions_edges,
     )
-    return np.asarray(refined), normals
+
+    refined = sharded_update_positions_edges(
+        mesh_data.vertices,
+        normals,
+        mesh_data.edge_map,
+        mesh_data.v_e_map,
+        device_mesh,
+        axis=axis,
+        iter_num=iters,
+    )
+    return refined, normals

@@ -33,3 +33,7 @@ from facet_graph_convolution_tpu.parallel.halo import (  # noqa: F401
     make_sharded_train_step,
     train_normals_sharded,
 )
+from facet_graph_convolution_tpu.parallel.vertex_halo import (  # noqa: F401
+    partition_index_map,
+    sharded_update_positions_edges,
+)

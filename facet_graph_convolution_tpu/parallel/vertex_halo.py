@@ -1,0 +1,211 @@
+"""Sharded vertex solver: edge-map Taubin filtering over partitioned vertices.
+
+Completes whole-mesh multi-chip inference: after the halo-exchange U-Net
+predicts facet normals (`parallel/halo.py`), the vertex positions are refined
+by the same solver the reference unrolls on one device
+(``update_position2``, train.py:1467-1557) — here the VERTEX space is
+partitioned into D contiguous blocks and each solver iteration exchanges the
+boundary vertex positions over ICI before the edge-endpoint gathers.
+
+The per-vertex face normals are static across iterations, so they are
+gathered once on the host and sharded; only the moving positions ride the
+per-iteration halo exchange. Padding slots carry zero normals (the pad edge
+resolves to the prepended zero edge-map line whose faces hit the zero normal
+row), so their contribution vanishes exactly as in the single-device solver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from facet_graph_convolution_tpu.ops.normalization import dot_last
+
+
+@dataclasses.dataclass
+class VertexPartition:
+    """Partition of a per-vertex gather map ``idx [V, ...]`` (0-indexed
+    global vertex ids, −1 = pad) into D blocks with halo exchange tables —
+    the structure of :class:`parallel.halo.LevelPartition` generalized to an
+    arbitrary-shaped index map."""
+
+    num_vertices: int
+    block: int
+    offsets: Tuple[int, ...]
+    local_idx: np.ndarray            # [D, block, ...] one-indexed into ext, 0 = pad
+    send_idx: np.ndarray             # [D, num_off, H]
+    recv_mask: np.ndarray            # [D, num_off, H]
+    halo_size: int
+    pad_rows: int                    # rows appended so D divides V
+
+
+def partition_index_map(idx: np.ndarray, num_shards: int) -> VertexPartition:
+    """Build halo tables for a per-row gather map. Rows (consumers) and the
+    id space (producers) are the same vertex set; V is padded up to a
+    multiple of D with inert (−1) rows."""
+    v = idx.shape[0]
+    pad_rows = (-v) % num_shards
+    if pad_rows:
+        pad = np.full((pad_rows,) + idx.shape[1:], -1, dtype=idx.dtype)
+        idx = np.concatenate([idx, pad], axis=0)
+    v_tot = idx.shape[0]
+    block = v_tot // num_shards
+    flat = idx.reshape(v_tot, -1).astype(np.int64)
+    owner = lambda g: g // block
+
+    requested, offsets_set = [], set()
+    for s in range(num_shards):
+        rows = flat[s * block : (s + 1) * block]
+        valid = rows[rows >= 0]
+        remote = np.unique(valid[(valid < s * block) | (valid >= (s + 1) * block)])
+        groups = {}
+        for o in np.unique(owner(remote)):
+            d = int(o) - s
+            groups[d] = remote[owner(remote) == o]
+            offsets_set.add(d)
+        requested.append(groups)
+
+    offsets = tuple(sorted(offsets_set, key=lambda d: (abs(d), d)))
+    halo = max(
+        [len(requested[s].get(d, ())) for s in range(num_shards) for d in offsets]
+        or [0]
+    )
+    halo = max(halo, 1)
+    num_off = max(len(offsets), 1)
+
+    send_idx = np.zeros((num_shards, num_off, halo), dtype=np.int32)
+    recv_mask = np.zeros((num_shards, num_off, halo), dtype=np.float32)
+    local_idx = np.zeros((num_shards, block, flat.shape[1]), dtype=np.int32)
+
+    for s in range(num_shards):
+        slot_of = {}
+        for j, d in enumerate(offsets):
+            req = requested[s].get(d, np.zeros(0, np.int64))
+            for i, g in enumerate(req):
+                slot_of[int(g)] = block + j * halo + i
+            recv_mask[s, j, : len(req)] = 1.0
+        for j, d in enumerate(offsets):
+            src = s + d
+            if 0 <= src < num_shards:
+                req = requested[s].get(d, np.zeros(0, np.int64))
+                send_idx[src, j, : len(req)] = req - src * block
+
+        rows = flat[s * block : (s + 1) * block]
+        out = np.zeros_like(rows)
+        own = (rows >= s * block) & (rows < (s + 1) * block)
+        out[own] = rows[own] - s * block + 1
+        remote_mask = (rows >= 0) & ~own
+        if np.any(remote_mask):
+            out[remote_mask] = (
+                np.asarray([slot_of[int(g)] for g in rows[remote_mask]]) + 1
+            )
+        local_idx[s] = out
+
+    return VertexPartition(
+        num_vertices=v,
+        block=block,
+        offsets=offsets,
+        local_idx=local_idx.reshape((num_shards, block) + idx.shape[1:]),
+        send_idx=send_idx,
+        recv_mask=recv_mask,
+        halo_size=halo,
+        pad_rows=pad_rows,
+    )
+
+
+def sharded_update_positions_edges(
+    x: np.ndarray,                    # [V, 3] vertex positions (host)
+    face_normals: np.ndarray,         # [F, 3]
+    edge_map: np.ndarray,             # [E, 4]
+    v_edges: np.ndarray,              # [V, maxE]
+    mesh: Mesh,
+    axis: str = "graph",
+    iter_num: int = 60,
+    lmbd: float = 1.0 / 18.0,
+) -> np.ndarray:
+    """Multi-chip
+    :func:`facet_graph_convolution_tpu.ops.vertex_update.update_positions_edges`:
+    identical math, vertex-partitioned with a per-iteration boundary
+    exchange. Returns the refined [V, 3] positions."""
+    n_dev = mesh.shape[axis]
+    v = x.shape[0]
+
+    # host-side setup mirroring the single-device solver
+    v_edges1 = v_edges.astype(np.int64) + 1
+    emap = edge_map.astype(np.int64) + np.array([[0, 0, 1, 1]])
+    emap = np.concatenate([np.zeros((1, 4), np.int64), emap], axis=0)
+    fn_pad = np.concatenate(
+        [np.zeros((1, 3), np.float32), np.asarray(face_normals, np.float32)],
+        axis=0,
+    )
+    n_edges = emap[v_edges1]                      # [V, maxE, 4]
+    # endpoints: pad edges resolve to vertex 0 in the single-device solver;
+    # their normals are zero either way, so mark them −1 (masked zero
+    # position) to keep the halo small — the contribution is zero in both.
+    is_pad = v_edges[..., None] < 0
+    v_pair_idx = np.where(
+        np.broadcast_to(is_pad, n_edges[..., 0:2].shape),
+        -1,
+        n_edges[..., 0:2],
+    )
+    n_f = fn_pad[n_edges[..., 2:4]]               # [V, maxE, 2, 3] static
+
+    part = partition_index_map(v_pair_idx, n_dev)
+    block, pad_rows = part.block, part.pad_rows
+    x_padded = np.concatenate(
+        [np.asarray(x, np.float32), np.zeros((pad_rows, 3), np.float32)], axis=0
+    )
+    n_f_padded = np.concatenate(
+        [n_f.astype(np.float32),
+         np.zeros((pad_rows,) + n_f.shape[1:], np.float32)],
+        axis=0,
+    )
+
+    local_idx = jnp.asarray(part.local_idx)       # [D, block, maxE, 2]
+    send_idx = jnp.asarray(part.send_idx)
+    recv_mask = jnp.asarray(part.recv_mask)
+    n_f_sh = jnp.asarray(n_f_padded.reshape((n_dev, block) + n_f.shape[1:]))
+    offsets = part.offsets
+
+    def _halo_extend(x_local, send_block, recv_block):
+        parts = [x_local]
+        size = jax.lax.axis_size(axis)
+        for j, d in enumerate(offsets):
+            rows = jnp.take(x_local, send_block[j], axis=0)
+            perm = [(src, (src - d) % size) for src in range(size)]
+            received = jax.lax.ppermute(rows, axis, perm)
+            parts.append(received * recv_block[j][:, None])
+        return jnp.concatenate(parts, axis=0)
+
+    in_specs = (P(axis), P(axis), P(axis), P(axis), P(axis))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(axis))
+    def solve(x_block, idx_block, n_f_block, send_block, recv_block):
+        idx_b = idx_block[0]          # operands carry a leading shard dim of 1
+        n_f_b = n_f_block[0]
+        send_b = send_block[0]
+        recv_b = recv_block[0]
+
+        def body(_, x_loc):
+            x_ext = _halo_extend(x_loc, send_b, recv_b)
+            ext_pad = jnp.concatenate([jnp.zeros_like(x_ext[:1]), x_ext], axis=0)
+            xv = jnp.take(ext_pad, idx_b, axis=0)  # [block, maxE, 2, 3]
+            e_vec = xv - x_loc[:, None, None, :]
+            s = jnp.sum(e_vec, axis=2)             # [block, maxE, 3]
+            proj = dot_last(n_f_b, s[:, :, None, :])
+            update = jnp.sum(n_f_b * proj[..., None], axis=(1, 2))
+            return x_loc + lmbd * update
+
+        return jax.lax.fori_loop(0, iter_num, body, x_block)
+
+    with mesh:
+        out = jax.jit(solve)(
+            jnp.asarray(x_padded), local_idx, n_f_sh, send_idx, recv_mask
+        )
+    return np.asarray(out)[:v]

@@ -315,3 +315,30 @@ def test_tensor_parallel_fc_sharding(rng):
     # fc1 weight really is sharded over the hidden axis
     sh = sharded["fc1"]["w"].sharding
     assert sh.spec == jax.sharding.PartitionSpec(None, "graph")
+
+
+def test_sharded_vertex_solver_matches_single_device():
+    """Sharded edge-map Taubin solver equals the single-device solver."""
+    from facet_graph_convolution_tpu.geometry import compute_face_normals, edge_map
+    from facet_graph_convolution_tpu.ops.vertex_update import update_positions_edges
+    from facet_graph_convolution_tpu.parallel.vertex_halo import (
+        sharded_update_positions_edges,
+    )
+
+    v, f = make_icosphere(2)
+    rng = np.random.default_rng(3)
+    noisy = (v + rng.normal(scale=0.05, size=v.shape)).astype(np.float32)
+    normals = compute_face_normals(v, f)
+    e_map, v_e_map = edge_map(f, max_edges=20)
+
+    ref = np.asarray(
+        update_positions_edges(
+            jnp.asarray(noisy), jnp.asarray(normals), jnp.asarray(e_map),
+            jnp.asarray(v_e_map), iter_num=30, checkpoint=False,
+        )
+    )
+    mesh = make_mesh((1, D), ("data", "graph"))
+    out = sharded_update_positions_edges(
+        noisy, normals, e_map, v_e_map, mesh, iter_num=30
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-4)
