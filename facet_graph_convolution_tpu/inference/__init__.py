@@ -5,3 +5,7 @@ from facet_graph_convolution_tpu.inference.driver import (  # noqa: F401
     infer_with_vertices,
     infer_directory,
 )
+from facet_graph_convolution_tpu.inference.sharded import (  # noqa: F401
+    infer_normals_sharded,
+    infer_with_vertices_sharded,
+)

@@ -88,3 +88,72 @@ def infer_normals_sharded(
         iter_num=iters,
     )
     return refined, normals
+
+
+def infer_with_vertices_sharded(
+    mesh_data: MeshDataset,
+    cfg: Config,
+    params,
+    device_mesh: Optional[Mesh] = None,
+    axis: str = "graph",
+):
+    """Fully multi-chip multi-scale inference (the sharded counterpart of
+    :func:`facet_graph_convolution_tpu.inference.driver.infer_with_vertices`):
+    halo-exchange forward with the three heads, then the sharded multi-scale
+    vertex solver. Single whole-mesh patch only."""
+    from facet_graph_convolution_tpu.ops.pooling import tree_unpool
+    from facet_graph_convolution_tpu.ops.normalization import normalize_tensor
+    from facet_graph_convolution_tpu.parallel.vertex_halo import (
+        sharded_update_positions_multiscale,
+    )
+
+    assert len(mesh_data.patches) == 1, "whole-mesh sharded inference"
+    patch = mesh_data.patches[0]
+    if device_mesh is None:
+        device_mesh = make_mesh((1, len(jax.devices())), ("data", axis))
+    n_dev = device_mesh.shape[axis]
+
+    group = 2 ** cfg.model.coarsening_steps
+    align = group ** (cfg.model.coarsening_levels - 1) * n_dev
+    padded = pad_patch_to(patch, bucket_size(patch.num_nodes, align))
+    part = build_partition(padded.adjs, n_dev)
+
+    x = jnp.asarray(padded.inputs)
+    with device_mesh:
+        n0, n1, n2 = jax.jit(
+            lambda p, xx: sharded_unet_apply(
+                p, xx, part, device_mesh, axis=axis,
+                coarsening_steps=cfg.model.coarsening_steps, multi_scale=True,
+            )
+        )(params, x)
+
+    # faces/v_faces come from the UNPADDED patch; solver normals match sizes
+    fn_list = [
+        np.asarray(n0)[: patch.num_nodes],
+        np.asarray(n1)[: patch.num_nodes // group],
+        np.asarray(n2)[: patch.num_nodes // group**2],
+    ]
+    refined, dx = sharded_update_positions_multiscale(
+        patch.vertices, fn_list, patch.faces, patch.v_faces, device_mesh,
+        axis=axis, coarsening_steps=cfg.model.coarsening_steps,
+        iter_nums=cfg.eval.ms_solver_iterations,
+    )
+    refined_mid = refined - dx[2]
+    refined_coarse = refined_mid - dx[1]
+
+    steps = cfg.model.coarsening_steps
+    up1 = np.asarray(normalize_tensor(tree_unpool(jnp.asarray(fn_list[1]), steps)))
+    up2 = np.asarray(normalize_tensor(tree_unpool(jnp.asarray(fn_list[2]), 2 * steps)))
+
+    def reorder(vals):
+        out = vals[patch.perm_inv][: patch.num_real]
+        return out
+
+    return {
+        "points": refined.astype(np.float32),
+        "points_mid": refined_mid.astype(np.float32),
+        "points_coarse": refined_coarse.astype(np.float32),
+        "fine_normals": reorder(fn_list[0]),
+        "mid_normals": reorder(up1),
+        "coarse_normals": reorder(up2),
+    }

@@ -36,4 +36,5 @@ from facet_graph_convolution_tpu.parallel.halo import (  # noqa: F401
 from facet_graph_convolution_tpu.parallel.vertex_halo import (  # noqa: F401
     partition_index_map,
     sharded_update_positions_edges,
+    sharded_update_positions_multiscale,
 )

@@ -329,10 +329,12 @@ def sharded_unet_apply(
     axis: str = "graph",
     coarsening_steps: int = 2,
     normalize: bool = True,
+    multi_scale: bool = False,
 ):
     """Jittable full forward over the device mesh; returns [N, 3] assembled
     predictions identical (to float tolerance) to the single-device
-    ``unet_apply`` + ``normalize_tensor``."""
+    ``unet_apply`` + ``normalize_tensor`` (a 3-tuple of per-level outputs
+    with ``multi_scale=True``)."""
     operands = partition_operands(part)
     offsets = tuple(lvl.offsets for lvl in part.levels)
 
@@ -341,18 +343,22 @@ def sharded_unet_apply(
         P(axis),
         tuple((P(axis), P(axis), P(axis), P(axis)) for _ in operands),
     )
+    out_specs = (P(axis), P(axis), P(axis)) if multi_scale else P(axis)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(axis))
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     def run(params, x_block, level_ops):
         level_ops = tuple(
             (a[0], t[0], s[0], m[0]) for (a, t, s, m) in level_ops
         )
         y = sharded_unet_forward_local(
             params, x_block, level_ops, offsets, axis,
-            coarsening_steps=coarsening_steps,
+            coarsening_steps=coarsening_steps, multi_scale=multi_scale,
         )
         if normalize:
-            y = _sharded_normalize_tensor(y, axis)
+            if multi_scale:
+                y = tuple(_sharded_normalize_tensor(h, axis) for h in y)
+            else:
+                y = _sharded_normalize_tensor(y, axis)
         return y
 
     return run(params, x, operands)

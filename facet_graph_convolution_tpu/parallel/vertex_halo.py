@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,23 +45,36 @@ class VertexPartition:
     pad_rows: int                    # rows appended so D divides V
 
 
-def partition_index_map(idx: np.ndarray, num_shards: int) -> VertexPartition:
-    """Build halo tables for a per-row gather map. Rows (consumers) and the
-    id space (producers) are the same vertex set; V is padded up to a
-    multiple of D with inert (−1) rows."""
+def partition_index_map(
+    idx: np.ndarray,
+    num_shards: int,
+    producer_count: Optional[int] = None,
+) -> VertexPartition:
+    """Build halo tables for a per-row gather map.
+
+    Rows of ``idx`` are the CONSUMERS (padded to a multiple of D with inert
+    −1 rows); the ids reference the PRODUCER space, by default the same set
+    as the consumers. Pass ``producer_count`` (must be divisible by D) for
+    cross-space gathers — e.g. faces gathering vertex positions: each device
+    then holds consumer block d AND producer block d, and ``send_idx``
+    indexes the *producer* block."""
     v = idx.shape[0]
     pad_rows = (-v) % num_shards
     if pad_rows:
         pad = np.full((pad_rows,) + idx.shape[1:], -1, dtype=idx.dtype)
         idx = np.concatenate([idx, pad], axis=0)
     v_tot = idx.shape[0]
-    block = v_tot // num_shards
+    cons_block = v_tot // num_shards
+    if producer_count is None:
+        producer_count = v_tot
+    assert producer_count % num_shards == 0, (producer_count, num_shards)
+    block = producer_count // num_shards          # producer block
     flat = idx.reshape(v_tot, -1).astype(np.int64)
     owner = lambda g: g // block
 
     requested, offsets_set = [], set()
     for s in range(num_shards):
-        rows = flat[s * block : (s + 1) * block]
+        rows = flat[s * cons_block : (s + 1) * cons_block]
         valid = rows[rows >= 0]
         remote = np.unique(valid[(valid < s * block) | (valid >= (s + 1) * block)])
         groups = {}
@@ -81,7 +94,7 @@ def partition_index_map(idx: np.ndarray, num_shards: int) -> VertexPartition:
 
     send_idx = np.zeros((num_shards, num_off, halo), dtype=np.int32)
     recv_mask = np.zeros((num_shards, num_off, halo), dtype=np.float32)
-    local_idx = np.zeros((num_shards, block, flat.shape[1]), dtype=np.int32)
+    local_idx = np.zeros((num_shards, cons_block, flat.shape[1]), dtype=np.int32)
 
     for s in range(num_shards):
         slot_of = {}
@@ -96,7 +109,7 @@ def partition_index_map(idx: np.ndarray, num_shards: int) -> VertexPartition:
                 req = requested[s].get(d, np.zeros(0, np.int64))
                 send_idx[src, j, : len(req)] = req - src * block
 
-        rows = flat[s * block : (s + 1) * block]
+        rows = flat[s * cons_block : (s + 1) * cons_block]
         out = np.zeros_like(rows)
         own = (rows >= s * block) & (rows < (s + 1) * block)
         out[own] = rows[own] - s * block + 1
@@ -111,7 +124,7 @@ def partition_index_map(idx: np.ndarray, num_shards: int) -> VertexPartition:
         num_vertices=v,
         block=block,
         offsets=offsets,
-        local_idx=local_idx.reshape((num_shards, block) + idx.shape[1:]),
+        local_idx=local_idx.reshape((num_shards, cons_block) + idx.shape[1:]),
         send_idx=send_idx,
         recv_mask=recv_mask,
         halo_size=halo,
@@ -209,3 +222,154 @@ def sharded_update_positions_edges(
             jnp.asarray(x_padded), local_idx, n_f_sh, send_idx, recv_mask
         )
     return np.asarray(out)[:v]
+
+
+def sharded_update_positions_multiscale(
+    x: np.ndarray,                    # [V, 3]
+    face_normals_list,                # fine→coarse [F, 3], [F/4, 3], [F/16, 3]
+    faces: np.ndarray,                # [F, 3] tree-ordered, −1 = fake
+    v_faces: np.ndarray,              # [V, K]
+    mesh: Mesh,
+    axis: str = "graph",
+    coarsening_steps: int = 2,
+    iter_nums=(80, 20, 20),
+    ):
+    """Multi-chip
+    :func:`facet_graph_convolution_tpu.ops.vertex_update.update_positions_multiscale`:
+    vertices AND faces are partitioned; every solver iteration runs two halo
+    exchanges — vertex positions to the face shards (centroid recomputation)
+    and current-scale face centers back to the vertex shards. Math matches
+    the single-device solver exactly (fake faces ride the zero-row gathers on
+    both sides). Returns (x [V, 3], dx list coarse-first)."""
+    from facet_graph_convolution_tpu.ops.pooling import tree_pool
+
+    n_dev = mesh.shape[axis]
+    levels = len(face_normals_list)
+    group = 2 ** coarsening_steps
+    v = x.shape[0]
+    f = faces.shape[0]
+
+    # pad faces so every pyramid level splits evenly across shards
+    f_align = n_dev * group ** (levels - 1)
+    f_pad = (-f) % f_align
+    faces_p = np.concatenate(
+        [faces.astype(np.int64), np.full((f_pad, 3), -1, dtype=np.int64)], axis=0
+    )
+    fb = (f + f_pad) // n_dev
+
+    # vertex padding to a multiple of D
+    v_pad = (-v) % n_dev
+    vb = (v + v_pad) // n_dev
+    x_p = np.concatenate(
+        [np.asarray(x, np.float32), np.zeros((v_pad, 3), np.float32)], axis=0
+    )
+    v_faces_p = np.concatenate(
+        [v_faces.astype(np.int64),
+         np.full((v_pad, v_faces.shape[1]), -1, dtype=np.int64)], axis=0
+    )
+
+    # per-vertex step size from the ORIGINAL incidence (train.py:1676-1683)
+    counts = np.sum(v_faces_p >= 0, axis=1).astype(np.float32)
+    lmbd = np.where(counts > 0, 1.0 / np.maximum(counts, 1.0), 0.0)[:, None]
+    lmbd_sh = jnp.asarray(lmbd.reshape(n_dev, vb, 1))
+
+    # faces → vertices gather (corner positions), rebuilt each iteration
+    p_fv = partition_index_map(faces_p, n_dev, producer_count=(v + v_pad))
+    fv_local = jnp.asarray(p_fv.local_idx)             # [D, fb, 3]
+    fv_send = jnp.asarray(p_fv.send_idx)
+    fv_recv = jnp.asarray(p_fv.recv_mask)
+    fv_offsets = p_fv.offsets
+
+    # vertices → scale-s face centers gathers + static per-vertex normals
+    p_vf, vf_locals, vf_sends, vf_recvs, vf_offsets, v_fns = [], [], [], [], [], []
+    for s in range(levels):
+        divisor = group ** s
+        idx_s = np.where(v_faces_p >= 0, v_faces_p // divisor, -1)
+        part = partition_index_map(
+            idx_s, n_dev, producer_count=(f + f_pad) // divisor
+        )
+        p_vf.append(part)
+        vf_locals.append(jnp.asarray(part.local_idx))   # [D, vb, K]
+        vf_sends.append(jnp.asarray(part.send_idx))
+        vf_recvs.append(jnp.asarray(part.recv_mask))
+        vf_offsets.append(part.offsets)
+
+        fn_s = np.asarray(face_normals_list[s], np.float32).reshape(-1, 3)
+        fn_pad_s = np.concatenate([np.zeros((1, 3), np.float32), fn_s], axis=0)
+        safe_idx = np.where(idx_s >= 0, idx_s + 1, 0)
+        vfn = fn_pad_s[np.clip(safe_idx, 0, fn_pad_s.shape[0] - 1)]
+        v_fns.append(jnp.asarray(vfn.reshape(n_dev, vb, v_faces.shape[1], 3)))
+
+    def _exchange(data_local, send_b, recv_b, offsets):
+        parts = [data_local]
+        size = jax.lax.axis_size(axis)
+        for j, d in enumerate(offsets):
+            rows = jnp.take(data_local, send_b[j], axis=0)
+            perm = [(src, (src - d) % size) for src in range(size)]
+            received = jax.lax.ppermute(rows, axis, perm)
+            parts.append(received * recv_b[j][:, None])
+        return jnp.concatenate(parts, axis=0)
+
+    spec = P(axis)
+    in_specs = (
+        spec,                                  # x
+        spec, spec, spec,                      # fv local/send/recv
+        tuple(spec for _ in range(levels)),    # vf locals
+        tuple(spec for _ in range(levels)),    # vf sends
+        tuple(spec for _ in range(levels)),    # vf recvs
+        tuple(spec for _ in range(levels)),    # v_fns
+        spec,                                  # lmbd
+    )
+    out_specs = (spec, tuple(spec for _ in range(levels)))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    def solve(x_b, fv_l, fv_s, fv_r, vf_ls, vf_ss, vf_rs, vfn_s, lmb):
+        fv_l, fv_s, fv_r, lmb = fv_l[0], fv_s[0], fv_r[0], lmb[0]
+        vf_ls = tuple(a[0] for a in vf_ls)
+        vf_ss = tuple(a[0] for a in vf_ss)
+        vf_rs = tuple(a[0] for a in vf_rs)
+        vfn_s = tuple(a[0] for a in vfn_s)
+
+        dx_out = []
+        for s in range(levels):
+            cur = levels - 1 - s
+            v_fn = vfn_s[cur]
+
+            def body(_, x_loc, cur=cur, v_fn=v_fn):
+                # stage 1: face shards recompute centroids from vertices
+                x_ext = _exchange(x_loc, fv_s, fv_r, fv_offsets)
+                ext_pad = jnp.concatenate(
+                    [jnp.zeros_like(x_ext[:1]), x_ext], axis=0
+                )
+                corners = jnp.take(ext_pad, fv_l, axis=0)    # [fb, 3, 3]
+                fpos = jnp.mean(corners, axis=1)             # fake → 0
+                if cur > 0:
+                    fpos = tree_pool(
+                        fpos, steps=coarsening_steps * cur,
+                        mode="avg_ignore_zeros",
+                    )
+                # stage 2: vertex shards gather current-scale centers
+                f_ext = _exchange(fpos, vf_ss[cur], vf_rs[cur], vf_offsets[cur])
+                f_ext_pad = jnp.concatenate(
+                    [jnp.zeros_like(f_ext[:1]), f_ext], axis=0
+                )
+                v_c = jnp.take(f_ext_pad, vf_ls[cur], axis=0)  # [vb, K, 3]
+                e = v_c - x_loc[:, None, :]
+                n_w = dot_last(v_fn, e)
+                update = jnp.sum(n_w[..., None] * v_fn, axis=1)
+                return x_loc + lmb * update
+
+            x_init = x_b
+            x_b = jax.lax.fori_loop(0, int(iter_nums[s]), body, x_b)
+            dx_out.append(x_b - x_init)
+        return x_b, tuple(dx_out)
+
+    with mesh:
+        out, dx = jax.jit(solve)(
+            jnp.asarray(x_p), fv_local, fv_send, fv_recv,
+            tuple(vf_locals), tuple(vf_sends), tuple(vf_recvs),
+            tuple(v_fns), lmbd_sh,
+        )
+    out = np.asarray(out)[:v]
+    dx = [np.asarray(d)[:v] for d in dx]
+    return out, dx

@@ -342,3 +342,84 @@ def test_sharded_vertex_solver_matches_single_device():
         noisy, normals, e_map, v_e_map, mesh, iter_num=30
     )
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_sharded_multiscale_solver_matches_single_device():
+    """Sharded multi-scale projection solver equals the single-device solver
+    (two halo exchanges per iteration: vertices→faces, faces→vertices)."""
+    from facet_graph_convolution_tpu.data.dataset import TrainingSet
+    from facet_graph_convolution_tpu.ops.pooling import tree_pool
+    from facet_graph_convolution_tpu.ops.vertex_update import (
+        update_positions_multiscale,
+    )
+    from facet_graph_convolution_tpu.parallel.vertex_halo import (
+        sharded_update_positions_multiscale,
+    )
+    from facet_graph_convolution_tpu.geometry.mesh_math import normalize_rows
+
+    v, f = make_icosphere(2)
+    rng = np.random.default_rng(3)
+    noisy = (v + rng.normal(scale=0.03, size=v.shape)).astype(np.float32)
+    ds = TrainingSet(
+        max_patch_size=10**9, coarsening_steps=2, coarsening_levels=3,
+        k_faces=23, seed=0,
+    )
+    ds.add_mesh_with_vertices(noisy, f, gt_vertices=v)
+    patch = ds.patches[0]
+
+    # synthetic per-level normals (as the multiScale heads would produce)
+    n0 = patch.gt_normals
+    n1 = np.asarray(tree_pool(jnp.asarray(n0), 2, "avg_ignore_zeros"))
+    n2 = np.asarray(tree_pool(jnp.asarray(n1), 2, "avg_ignore_zeros"))
+    fn_list = [n0, n1, n2]
+    iters = (10, 5, 5)
+
+    ref, ref_dx = update_positions_multiscale(
+        jnp.asarray(patch.vertices),
+        [jnp.asarray(n) for n in fn_list],
+        jnp.asarray(patch.faces),
+        jnp.asarray(patch.v_faces),
+        coarsening_steps=2, iter_nums=iters, checkpoint=False,
+    )
+    mesh = make_mesh((1, D), ("data", "graph"))
+    out, dx = sharded_update_positions_multiscale(
+        patch.vertices, fn_list, patch.faces, patch.v_faces, mesh,
+        coarsening_steps=2, iter_nums=iters,
+    )
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1e-4)
+    for a, b in zip(dx, ref_dx):
+        np.testing.assert_allclose(a, np.asarray(b)[: a.shape[0]], atol=1e-4)
+
+
+def test_sharded_with_vertices_inference_matches():
+    """Fully sharded multi-scale inference equals the single-device path."""
+    from facet_graph_convolution_tpu.data.dataset import InferenceMesh
+    from facet_graph_convolution_tpu.inference.driver import infer_with_vertices
+    from facet_graph_convolution_tpu.inference.sharded import (
+        infer_with_vertices_sharded,
+    )
+
+    v, f = make_icosphere(2)
+    rng = np.random.default_rng(3)
+    noisy = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
+    mesh_data = InferenceMesh(
+        max_patch_size=10**9, coarsening_steps=2, coarsening_levels=3,
+        k_faces=23, seed=0,
+    )
+    mesh_data.add_mesh_with_vertices(noisy, f)
+
+    cfg = default_config().replace(
+        model={"channels": (8, 16, 32), "num_filters": 4, "fc_channels": 32},
+        eval={"ms_solver_iterations": (8, 4, 4)},
+    )
+    params = init_unet(jax.random.PRNGKey(0), in_channels=6,
+                       channels=(8, 16, 32), num_filters=4, fc_channels=32,
+                       multi_scale=True)
+
+    ref = infer_with_vertices(mesh_data, cfg, params=params)
+    dev_mesh = make_mesh((1, D), ("data", "graph"))
+    out = infer_with_vertices_sharded(mesh_data, cfg, params,
+                                      device_mesh=dev_mesh)
+    for key in ("points", "points_mid", "points_coarse",
+                "fine_normals", "mid_normals", "coarse_normals"):
+        np.testing.assert_allclose(out[key], ref[key], atol=2e-4, err_msg=key)
