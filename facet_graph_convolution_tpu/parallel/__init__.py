@@ -38,3 +38,7 @@ from facet_graph_convolution_tpu.parallel.vertex_halo import (  # noqa: F401
     sharded_update_positions_edges,
     sharded_update_positions_multiscale,
 )
+from facet_graph_convolution_tpu.parallel.vertex_train import (  # noqa: F401
+    make_sharded_vertex_train_step,
+    prepare_vertex_training,
+)

@@ -373,3 +373,156 @@ def sharded_update_positions_multiscale(
     out = np.asarray(out)[:v]
     dx = [np.asarray(d)[:v] for d in dx]
     return out, dx
+
+
+# ---------------------------------------------------------------------------
+# Differentiable in-shard_map pieces for sharded end-to-end training
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MultiscaleSolverOperands:
+    """Host-built operands for the sharded multi-scale solver, shaped [D, ...]
+    for shard_map consumption. Build with :func:`prepare_multiscale_solver`."""
+
+    num_vertices: int
+    num_faces: int
+    v_block: int
+    f_block: int
+    fv_local: jnp.ndarray
+    fv_send: jnp.ndarray
+    fv_recv: jnp.ndarray
+    fv_offsets: Tuple[int, ...]
+    vf_locals: Tuple[jnp.ndarray, ...]
+    vf_sends: Tuple[jnp.ndarray, ...]
+    vf_recvs: Tuple[jnp.ndarray, ...]
+    vf_offsets: Tuple[Tuple[int, ...], ...]
+    v_fns: Tuple[jnp.ndarray, ...]
+    lmbd: jnp.ndarray
+
+    def device_operands(self):
+        """The array pytree to pass through shard_map (specs: all P(axis))."""
+        return (
+            self.fv_local, self.fv_send, self.fv_recv,
+            self.vf_locals, self.vf_sends, self.vf_recvs,
+            self.v_fns, self.lmbd,
+        )
+
+
+def prepare_multiscale_solver(
+    face_normals_shapes,              # per-level face counts, fine→coarse
+    faces: np.ndarray,
+    v_faces: np.ndarray,
+    num_vertices: int,
+    num_shards: int,
+    coarsening_steps: int = 2,
+) -> MultiscaleSolverOperands:
+    levels = len(face_normals_shapes)
+    group = 2 ** coarsening_steps
+    f = faces.shape[0]
+    f_align = num_shards * group ** (levels - 1)
+    assert f % f_align == 0, (f, f_align, "pad faces before partitioning")
+    assert num_vertices % num_shards == 0, (num_vertices, num_shards)
+    fb = f // num_shards
+    vb = num_vertices // num_shards
+
+    counts = np.sum(v_faces >= 0, axis=1).astype(np.float32)
+    lmbd = np.where(counts > 0, 1.0 / np.maximum(counts, 1.0), 0.0)[:, None]
+
+    p_fv = partition_index_map(
+        faces.astype(np.int64), num_shards, producer_count=num_vertices
+    )
+    vf_locals, vf_sends, vf_recvs, vf_offs, v_fns = [], [], [], [], []
+    for s in range(levels):
+        divisor = group ** s
+        idx_s = np.where(v_faces >= 0, v_faces.astype(np.int64) // divisor, -1)
+        part = partition_index_map(idx_s, num_shards, producer_count=f // divisor)
+        vf_locals.append(jnp.asarray(part.local_idx))
+        vf_sends.append(jnp.asarray(part.send_idx))
+        vf_recvs.append(jnp.asarray(part.recv_mask))
+        vf_offs.append(part.offsets)
+        v_fns.append(None)   # filled on device from live normals (training)
+
+    return MultiscaleSolverOperands(
+        num_vertices=num_vertices,
+        num_faces=f,
+        v_block=vb,
+        f_block=fb,
+        fv_local=jnp.asarray(p_fv.local_idx),
+        fv_send=jnp.asarray(p_fv.send_idx),
+        fv_recv=jnp.asarray(p_fv.recv_mask),
+        fv_offsets=p_fv.offsets,
+        vf_locals=tuple(vf_locals),
+        vf_sends=tuple(vf_sends),
+        vf_recvs=tuple(vf_recvs),
+        vf_offsets=tuple(vf_offs),
+        v_fns=tuple(v_fns),
+        lmbd=jnp.asarray(lmbd.reshape(num_shards, vb, 1)),
+    )
+
+
+def _exchange_rows(data_local, send_b, recv_b, offsets, axis):
+    """Generic producer→consumer halo exchange (ppermute ring hops)."""
+    parts = [data_local]
+    size = jax.lax.axis_size(axis)
+    for j, d in enumerate(offsets):
+        rows = jnp.take(data_local, send_b[j], axis=0)
+        perm = [(src, (src - d) % size) for src in range(size)]
+        received = jax.lax.ppermute(rows, axis, perm)
+        parts.append(received * recv_b[j][:, None])
+    return jnp.concatenate(parts, axis=0)
+
+
+def multiscale_solver_local(
+    x_loc,                            # [vb, 3] owned vertex positions
+    fn_blocks,                        # per-level [fb/4^s, 3] LIVE face normals
+    ops_dev,                          # MultiscaleSolverOperands.device_operands,
+                                      # each leaf indexed [0] by the caller
+    offsets_fv, offsets_vf,           # static offset tuples
+    axis: str,
+    coarsening_steps: int = 2,
+    iter_nums=(80, 20, 20),
+):
+    """Differentiable sharded multi-scale solver body (inside shard_map).
+
+    Unlike the inference wrapper, the per-vertex face normals are gathered on
+    DEVICE from the live (network-predicted) normals so gradients flow from
+    the refined positions back into the heads (reference trainAccuracyNet,
+    train.py:636-914)."""
+    from facet_graph_convolution_tpu.ops.pooling import tree_pool
+
+    (fv_l, fv_s, fv_r, vf_ls, vf_ss, vf_rs, _unused, lmb) = ops_dev
+    levels = len(fn_blocks)
+    dx_out = []
+    for s in range(levels):
+        cur = levels - 1 - s
+        # per-vertex normals at this scale, gathered from live fn via halo
+        fn_ext = _exchange_rows(fn_blocks[cur], vf_ss[cur], vf_rs[cur],
+                                offsets_vf[cur], axis)
+        fn_ext_pad = jnp.concatenate(
+            [jnp.zeros_like(fn_ext[:1]), fn_ext], axis=0
+        )
+        v_fn = jnp.take(fn_ext_pad, vf_ls[cur], axis=0)     # [vb, K, 3]
+
+        def body(_, x_l, cur=cur, v_fn=v_fn):
+            x_ext = _exchange_rows(x_l, fv_s, fv_r, offsets_fv, axis)
+            ext_pad = jnp.concatenate([jnp.zeros_like(x_ext[:1]), x_ext], axis=0)
+            corners = jnp.take(ext_pad, fv_l, axis=0)
+            fpos = jnp.mean(corners, axis=1)
+            if cur > 0:
+                fpos = tree_pool(fpos, steps=coarsening_steps * cur,
+                                 mode="avg_ignore_zeros")
+            f_ext = _exchange_rows(fpos, vf_ss[cur], vf_rs[cur],
+                                   offsets_vf[cur], axis)
+            f_ext_pad = jnp.concatenate(
+                [jnp.zeros_like(f_ext[:1]), f_ext], axis=0
+            )
+            v_c = jnp.take(f_ext_pad, vf_ls[cur], axis=0)
+            e = v_c - x_l[:, None, :]
+            n_w = dot_last(v_fn, e)
+            update = jnp.sum(n_w[..., None] * v_fn, axis=1)
+            return x_l + lmb * update
+
+        x_init = x_loc
+        x_loc = jax.lax.fori_loop(0, int(iter_nums[s]), body, x_loc)
+        dx_out.append(x_loc - x_init)
+    return x_loc, tuple(dx_out)
