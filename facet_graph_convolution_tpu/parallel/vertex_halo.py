@@ -396,7 +396,6 @@ class MultiscaleSolverOperands:
     vf_sends: Tuple[jnp.ndarray, ...]
     vf_recvs: Tuple[jnp.ndarray, ...]
     vf_offsets: Tuple[Tuple[int, ...], ...]
-    v_fns: Tuple[jnp.ndarray, ...]
     lmbd: jnp.ndarray
 
     def device_operands(self):
@@ -404,7 +403,7 @@ class MultiscaleSolverOperands:
         return (
             self.fv_local, self.fv_send, self.fv_recv,
             self.vf_locals, self.vf_sends, self.vf_recvs,
-            self.v_fns, self.lmbd,
+            self.lmbd,
         )
 
 
@@ -431,7 +430,7 @@ def prepare_multiscale_solver(
     p_fv = partition_index_map(
         faces.astype(np.int64), num_shards, producer_count=num_vertices
     )
-    vf_locals, vf_sends, vf_recvs, vf_offs, v_fns = [], [], [], [], []
+    vf_locals, vf_sends, vf_recvs, vf_offs = [], [], [], []
     for s in range(levels):
         divisor = group ** s
         idx_s = np.where(v_faces >= 0, v_faces.astype(np.int64) // divisor, -1)
@@ -440,7 +439,6 @@ def prepare_multiscale_solver(
         vf_sends.append(jnp.asarray(part.send_idx))
         vf_recvs.append(jnp.asarray(part.recv_mask))
         vf_offs.append(part.offsets)
-        v_fns.append(None)   # filled on device from live normals (training)
 
     return MultiscaleSolverOperands(
         num_vertices=num_vertices,
@@ -455,7 +453,6 @@ def prepare_multiscale_solver(
         vf_sends=tuple(vf_sends),
         vf_recvs=tuple(vf_recvs),
         vf_offsets=tuple(vf_offs),
-        v_fns=tuple(v_fns),
         lmbd=jnp.asarray(lmbd.reshape(num_shards, vb, 1)),
     )
 
@@ -490,7 +487,7 @@ def multiscale_solver_local(
     train.py:636-914)."""
     from facet_graph_convolution_tpu.ops.pooling import tree_pool
 
-    (fv_l, fv_s, fv_r, vf_ls, vf_ss, vf_rs, _unused, lmb) = ops_dev
+    (fv_l, fv_s, fv_r, vf_ls, vf_ss, vf_rs, lmb) = ops_dev
     levels = len(fn_blocks)
     dx_out = []
     for s in range(levels):
