@@ -13,7 +13,13 @@ from facet_graph_convolution_tpu.training.trainer import (
 
 def main():
     parser = add_cli_overrides(argparse.ArgumentParser())
-    cfg = config_from_args(parser.parse_args())
+    parser.add_argument(
+        "--steps_per_call", type=int, default=None,
+        help="scan this many train steps per dispatch (default: 100 on TPU, "
+             "1 elsewhere) — amortizes host/tunnel latency",
+    )
+    args = parser.parse_args()
+    cfg = config_from_args(args)
     suffix = "WithVertices" if cfg.model.include_vertices else ""
     train_path = os.path.join(cfg.data.binary_dump_path, f"trainingSet{suffix}.npz")
     valid_path = os.path.join(cfg.data.binary_dump_path, f"validSet{suffix}.npz")
@@ -23,7 +29,12 @@ def main():
     if cfg.model.include_vertices:
         train_with_vertices(cfg, train_set, valid_set)
     else:
-        train_normals(cfg, train_set, valid_set)
+        import jax
+
+        steps_per_call = args.steps_per_call
+        if steps_per_call is None:
+            steps_per_call = 100 if jax.default_backend() == "tpu" else 1
+        train_normals(cfg, train_set, valid_set, steps_per_call=steps_per_call)
 
 
 if __name__ == "__main__":
