@@ -123,6 +123,37 @@ def dedupe_klist(adj: np.ndarray):
     return adj_u, mult
 
 
+def split_self_klist(
+    adj_u: np.ndarray, mult: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split the self slot out of a deduped K-list.
+
+    Every K-list row contains the node itself (slot 0 convention of
+    ``getFacesLargeAdj``/``sparseToList``, utils.py:262,1808). The self
+    contribution to the conv needs no gather — its features are the row's own
+    ``x`` — so the device op can compute it locally and gather one fewer row
+    per node (~7-8% of gather rows at K'≈13).
+
+    Returns ``(adj_nbr [N, K''], mult_nbr [N, K''], self_mult [N])`` where
+    ``adj_nbr`` is the compacted neighbours-only one-indexed K-list (K'' =
+    max non-self distinct count), ``mult_nbr`` its multiplicities, and
+    ``self_mult`` the self multiplicity (1 for every real node; degree =
+    ``mult_nbr.sum(-1) + self_mult`` equals the original non-zero count).
+    """
+    n, _ = adj_u.shape
+    self_col = np.arange(n, dtype=np.int64) + 1
+    is_self = adj_u.astype(np.int64) == self_col[:, None]
+    self_mult = np.sum(mult * is_self, axis=1).astype(np.float32)
+    nbr = np.where(is_self, 0, adj_u)
+    m_n = np.where(is_self, 0.0, mult).astype(np.float32)
+    # compact non-zero entries left (stable), trim to the max non-self count
+    order = np.argsort(nbr == 0, axis=1, kind="stable")
+    nbr = np.take_along_axis(nbr, order, axis=1)
+    m_n = np.take_along_axis(m_n, order, axis=1)
+    k_n = max(int(np.count_nonzero(nbr, axis=1).max()), 1) if n else 1
+    return nbr[:, :k_n].astype(np.int32), m_n[:, :k_n], self_mult
+
+
 def transpose_adjacency(adj: np.ndarray, num_targets: Optional[int] = None) -> np.ndarray:
     """Transpose slot map for scatter-free gather backward.
 

@@ -237,6 +237,12 @@ def facet_conv(
     if variant in (FacetConvVariant.DEFAULT, FacetConvVariant.TRANSLATION_INVARIANT):
         return _facet_conv_fused(params, x, adj, variant, bias_mask,
                                  compute_dtype, adj_t, mult)
+    if isinstance(mult, (tuple, list)):
+        raise NotImplementedError(
+            "self-split graphs (mult as (mult, self_mult)) are only supported "
+            "by the fused default/translation-invariant path; build arrays "
+            "with split_self=False for the rotation-invariant variant"
+        )
     q = assignment_weights(params, x, adj, variant, adj_t=adj_t)
     return _finish_conv(q, x, adj, params["w"], params["b"], bias_mask,
                         compute_dtype, adj_t=adj_t, mult=mult)
@@ -248,11 +254,24 @@ def _facet_conv_fused(params, x, adj, variant, bias_mask, compute_dtype, adj_t,
     dtype = compute_dtype or x.dtype
     n, in_ch = x.shape
 
+    # self-split graphs (graph.convert.split_self_klist) carry the self slot's
+    # multiplicity separately: adj then lists neighbours only and the self
+    # contribution is computed locally, without a gather
+    self_mult = None
+    if isinstance(mult, (tuple, list)):
+        mult, self_mult = mult
+
     # translation invariance uses v = −u (u·(x_i − x_j) = u·x_i + (−u)·x_j)
     proj = params["v"] if variant == FacetConvVariant.DEFAULT else -u
     vx = x @ proj.T                                            # [N, M]
     cat = jnp.concatenate([x.astype(dtype), vx.astype(dtype)], axis=-1)
     cat_nbr = gather_neighbors(cat, adj, adj_t)                # [N, K, C+M]
+    if self_mult is not None:
+        # self-split adjacency: the self slot's features are the local row —
+        # prepend it instead of gathering it (one fewer gather row per node,
+        # identical downstream pipeline)
+        cat_nbr = jnp.concatenate([cat[:, None, :], cat_nbr], axis=1)
+        mult = jnp.concatenate([self_mult[:, None], mult], axis=1)
     x_nbr = cat_nbr[..., :in_ch]
     vx_nbr = cat_nbr[..., in_ch:]
 

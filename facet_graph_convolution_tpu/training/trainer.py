@@ -159,13 +159,19 @@ def _bucketed(patch: FacetPatch, align: int) -> FacetPatch:
     return pad_patch_to(patch, bucket_size(patch.num_nodes, align))
 
 
-def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True):
+def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
+                  split_self: bool = True):
     """Compile the patch graph for the train step: dedupe duplicate K-list
-    slots into multiplicity weights and build transpose slot maps for the
-    scatter-free backward (both exact transformations — tests
-    test_transpose_gather.py)."""
+    slots into multiplicity weights, split the self slot out (its features
+    need no gather), and build transpose slot maps for the scatter-free
+    backward (all exact transformations — tests test_transpose_gather.py).
+
+    With ``split_self`` the per-level mult entry is the pytree
+    ``(mult_nbr, self_mult)`` consumed by the fused conv; pass False for the
+    rotation-invariant variant (assignment needs the self slot gathered)."""
     from facet_graph_convolution_tpu.graph.convert import (
         dedupe_klist,
+        split_self_klist,
         transpose_adjacency,
     )
 
@@ -176,8 +182,12 @@ def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True):
     adjs, adj_ts, mults = [], [], []
     for a in patch.adjs:
         a_u, mult = dedupe_klist(a)
+        if split_self:
+            a_u, mult_n, self_mult = split_self_klist(a_u, mult)
+            mults.append((jnp.asarray(mult_n), jnp.asarray(self_mult)))
+        else:
+            mults.append(jnp.asarray(mult))
         adjs.append(jnp.asarray(a_u))
-        mults.append(jnp.asarray(mult))
         adj_ts.append(jnp.asarray(transpose_adjacency(a_u)))
     return x, tuple(adjs), gt, tuple(adj_ts), tuple(mults)
 
@@ -193,15 +203,23 @@ def _stack_patch_arrays(arrays):
     def stack_padded(get):
         out = []
         for lvl in range(levels):
-            mats = [np.asarray(get(a)[lvl]) for a in arrays]
-            width = max(m.shape[1] for m in mats)
-            padded = []
-            for m in mats:
-                if m.shape[1] < width:
-                    pad = np.zeros((m.shape[0], width - m.shape[1]), m.dtype)
-                    m = np.concatenate([m, pad], axis=1)
-                padded.append(m)
-            out.append(jnp.asarray(np.stack(padded)))
+            entries = [get(a)[lvl] for a in arrays]
+            # per-level entries are pytrees (self-split mults are tuples);
+            # pad 2-D leaves to the max per-patch K'/K_t width — extra zero
+            # slots are inert (zero-row gather + zero multiplicity)
+            treedef = jax.tree.structure(entries[0])
+            leaf_rows = [jax.tree.leaves(e) for e in entries]
+            stacked = []
+            for parts in zip(*leaf_rows):
+                mats = [np.asarray(p) for p in parts]
+                if mats[0].ndim == 2:
+                    width = max(m.shape[1] for m in mats)
+                    mats = [
+                        np.pad(m, ((0, 0), (0, width - m.shape[1])))
+                        for m in mats
+                    ]
+                stacked.append(jnp.asarray(np.stack(mats)))
+            out.append(jax.tree.unflatten(treedef, stacked))
         return tuple(out)
 
     adjs = stack_padded(lambda a: a[1])
@@ -226,11 +244,12 @@ def make_scanned_train_step(step_fn, steps_per_call: int):
     def run(state, xs, adjs, gts, idxs, keys, adj_ts, mults):
         def body(state, sel):
             idx, key = sel
-            x = jnp.take(xs, idx, axis=0)
-            adj = tuple(jnp.take(a, idx, axis=0) for a in adjs)
-            gt = jnp.take(gts, idx, axis=0)
-            a_ts = tuple(jnp.take(t, idx, axis=0) for t in adj_ts)
-            ms = tuple(jnp.take(m, idx, axis=0) for m in mults)
+            take = lambda t: jnp.take(t, idx, axis=0)
+            x = take(xs)
+            adj = jax.tree.map(take, adjs)
+            gt = take(gts)
+            a_ts = jax.tree.map(take, adj_ts)
+            ms = jax.tree.map(take, mults)
             state, loss = step_fn(state, x, adj, gt, key, a_ts, ms)
             return state, loss
 
@@ -270,8 +289,11 @@ def train_normals(
     valid_patches = (
         [_bucketed(p, bucket_align) for p in valid_set.patches] if valid_set else []
     )
-    arrays = [_patch_arrays(p) for p in patches]
-    valid_arrays = [_patch_arrays(p) for p in valid_patches]
+    # the rotation-invariant assignment gathers the self slot's features, so
+    # it keeps the self slot in the adjacency (no self-split)
+    split = _config_variant(cfg) != FacetConvVariant.ROTATION_INVARIANT
+    arrays = [_patch_arrays(p, split_self=split) for p in patches]
+    valid_arrays = [_patch_arrays(p, split_self=split) for p in valid_patches]
 
     rng = np.random.default_rng(cfg.train.seed)
     loss_hist: List[Tuple[float, float]] = []

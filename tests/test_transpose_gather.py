@@ -154,3 +154,81 @@ def test_dedupe_rotation_invariant_parity(rng):
 
     raw, dd = both(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(raw), np.asarray(dd), atol=2e-5)
+
+
+def test_self_split_parity(rng):
+    """Self-split conv (local self term, neighbours-only gather) must match
+    the raw K-list conv exactly, values and parameter gradients."""
+    from facet_graph_convolution_tpu.graph.convert import (
+        dedupe_klist,
+        split_self_klist,
+        transpose_adjacency,
+    )
+    from facet_graph_convolution_tpu.ops.conv import facet_conv, init_facet_conv
+
+    n, k = 48, 9
+    adj = np.zeros((n, k), np.int32)
+    adj[:, 0] = np.arange(n) + 1
+    for i in range(n):
+        deg = int(rng.integers(0, k - 1))
+        adj[i, 1 : 1 + deg] = rng.choice(n, size=deg, replace=True) + 1
+    adj_u, mult = dedupe_klist(adj)
+    adj_n, mult_n, self_mult = split_self_klist(adj_u, mult)
+    assert adj_n.shape[1] < adj_u.shape[1]          # self slot removed
+    assert np.all(self_mult >= 1.0)   # choice-with-replacement can re-pick self
+    adj_t = transpose_adjacency(adj_n)
+
+    x = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    params = init_facet_conv(jax.random.PRNGKey(0), 6, 8, 4)
+    args_split = dict(
+        adj_t=jnp.asarray(adj_t),
+        mult=(jnp.asarray(mult_n), jnp.asarray(self_mult)),
+    )
+
+    def f_raw(params, x):
+        return facet_conv(params, x, jnp.asarray(adj))
+
+    def f_split(params, x):
+        return facet_conv(params, x, jnp.asarray(adj_n), **args_split)
+
+    y_raw = jax.jit(f_raw)(params, x)
+    y_split = jax.jit(f_split)(params, x)
+    np.testing.assert_allclose(np.asarray(y_raw), np.asarray(y_split), atol=2e-5)
+
+    def loss(f):
+        return lambda p, x: jnp.sum(f(p, x) ** 2)
+
+    g_raw = jax.jit(jax.grad(loss(f_raw), argnums=(0, 1)))(params, x)
+    g_split = jax.jit(jax.grad(loss(f_split), argnums=(0, 1)))(params, x)
+    for a, b in zip(jax.tree.leaves(g_raw), jax.tree.leaves(g_split)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_patch_arrays_self_split_step_parity(rng):
+    """A full train step on self-split arrays matches the non-split arrays."""
+    import jax
+
+    from __graft_entry__ import _make_patch
+    from facet_graph_convolution_tpu.config import default_config
+    from facet_graph_convolution_tpu.training.trainer import (
+        _patch_arrays,
+        create_train_state,
+        make_normals_train_step,
+    )
+
+    patch = _make_patch(subdiv=3, seed=3)
+    cfg = default_config()
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_normals_train_step(tx, cfg)
+    key = jax.random.PRNGKey(7)
+
+    losses = []
+    states = []
+    for split in (False, True):
+        x, adjs, gt, adj_ts, mults = _patch_arrays(patch, split_self=split)
+        st, loss = step(state, x, adjs, gt, key, adj_ts, mults)
+        losses.append(float(loss))
+        states.append(st)
+    assert abs(losses[0] - losses[1]) < 1e-4
+    for a, b in zip(jax.tree.leaves(states[0].params), jax.tree.leaves(states[1].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
