@@ -154,6 +154,19 @@ def split_self_klist(
     return nbr[:, :k_n].astype(np.int32), m_n[:, :k_n], self_mult
 
 
+def fused_mult_rows(mult_nbr: np.ndarray, self_mult: np.ndarray) -> np.ndarray:
+    """Static per-slot multiplier for the node-minor conv: ``[K+1, N]`` with
+    slot 0 = self, value = multiplicity × 1/degree (0 on padding slots).
+
+    Folding the degree normalizer into the multiplicity is exact: the conv
+    computes ``(1/deg)·Σ mult·q·x`` and both factors are static per graph.
+    """
+    deg = mult_nbr.sum(axis=1) + self_mult
+    inv_deg = np.where(deg > 0, 1.0 / np.maximum(deg, 1.0), 0.0)
+    rows = np.concatenate([self_mult[:, None], mult_nbr], axis=1) * inv_deg[:, None]
+    return np.ascontiguousarray(rows.T.astype(np.float32))
+
+
 def transpose_adjacency(adj: np.ndarray, num_targets: Optional[int] = None) -> np.ndarray:
     """Transpose slot map for scatter-free gather backward.
 

@@ -29,12 +29,18 @@ import jax.numpy as jnp
 from facet_graph_convolution_tpu.ops.conv import (
     FacetConvVariant,
     facet_conv,
+    facet_conv_nminor,
     init_facet_conv,
     init_linear,
     linear,
 )
 from facet_graph_convolution_tpu.ops.normalization import lrelu
-from facet_graph_convolution_tpu.ops.pooling import tree_pool, tree_unpool
+from facet_graph_convolution_tpu.ops.pooling import (
+    tree_pool,
+    tree_pool_nminor,
+    tree_unpool,
+    tree_unpool_nminor,
+)
 
 
 def init_unet(
@@ -159,6 +165,91 @@ def unet_apply(
 
     h = lrelu(linear(params["fc1"], d1), alpha)
     y_fine = linear(params["out0"], h)
+
+    if multi_scale:
+        return y_fine, y_mid, y_coarse
+    return y_fine
+
+
+def unet_apply_nminor(
+    params: Dict,
+    x: jnp.ndarray,
+    adjs: Sequence[jnp.ndarray],
+    adj_ts: Sequence[jnp.ndarray],
+    mult_rows: Sequence[jnp.ndarray],
+    coarsening_steps: int = 2,
+    multi_scale: bool = False,
+    alpha: float = 0.1,
+    variant: FacetConvVariant = FacetConvVariant.DEFAULT,
+    compute_dtype=None,
+) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Node-minor forward pass — the TPU fast path.
+
+    Same network as :func:`unet_apply`, but activations stay transposed
+    [C, N] end-to-end so XLA keeps the node axis minormost (see
+    :func:`facet_graph_convolution_tpu.ops.conv.facet_conv_nminor` for why —
+    it removes a third of the step's device time in layout copies).
+
+    ``adjs`` must be self-split neighbour K-lists and ``mult_rows`` the
+    per-level fused [K+1, N] multipliers (trainer `_patch_arrays(nminor=…)`).
+    Input ``x`` [N, C] and outputs [N, out] keep the public orientation;
+    the transposes at the boundary are node-count × small-channel arrays.
+    """
+    tmap = dict(zip([id(a) for a in adjs], zip(adj_ts, mult_rows)))
+
+    def conv(name, h_t, a):
+        adj_t, rows = tmap[id(a)]
+        return facet_conv_nminor(
+            params[name], h_t, a, adj_t, rows,
+            variant=variant, compute_dtype=compute_dtype,
+        )
+
+    def lin(name, h_t):
+        p = params[name]
+        return p["w"].T @ h_t + p["b"][:, None]
+
+    x_t = x.T
+
+    if len(adjs) == 1:
+        if multi_scale:
+            raise ValueError("multi_scale heads need the 3-level pyramid")
+        h = lrelu(conv("conv1", x_t, adjs[0]), alpha)
+        if "dconv1_single" in params:
+            h = lrelu(conv("dconv1_single", h, adjs[0]), alpha)
+        h = lrelu(lin("fc1", h), alpha)
+        return lin("out0", h).T
+
+    # --- encoder ---
+    h1 = lrelu(conv("conv1", x_t, adjs[0]), alpha)               # [c0, N]
+    p1 = tree_pool_nminor(h1, steps=coarsening_steps, mode="max")
+    h2 = lrelu(conv("conv2", p1, adjs[1]), alpha)                # [c1, N/4]
+    p2 = tree_pool_nminor(h2, steps=coarsening_steps, mode="max")
+    h3 = lrelu(conv("conv3", p2, adjs[2]), alpha)                # [c2, N/16]
+
+    # --- center ---
+    d3 = lrelu(conv("dconv3", h3, adjs[2]), alpha)
+
+    y_coarse = None
+    if multi_scale:
+        hc = lrelu(lin("fc_coarse", d3), alpha)
+        y_coarse = lin("out2", hc).T
+
+    # --- decoder ---
+    u2 = tree_unpool_nminor(d3, steps=coarsening_steps)
+    u2 = conv("upconv2", u2, adjs[1])                            # [c1, N/4]
+    d2 = lrelu(conv("dconv2", jnp.concatenate([u2, h2], axis=0), adjs[1]), alpha)
+
+    y_mid = None
+    if multi_scale:
+        hm = lrelu(lin("fc_mid", d2), alpha)
+        y_mid = lin("out1", hm).T
+
+    u1 = tree_unpool_nminor(d2, steps=coarsening_steps)
+    u1 = conv("upconv1", u1, adjs[0])                            # [c0, N]
+    d1 = lrelu(conv("dconv1", jnp.concatenate([u1, h1], axis=0), adjs[0]), alpha)
+
+    h = lrelu(lin("fc1", d1), alpha)
+    y_fine = lin("out0", h).T
 
     if multi_scale:
         return y_fine, y_mid, y_coarse

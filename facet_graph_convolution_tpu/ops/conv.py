@@ -301,6 +301,67 @@ def _facet_conv_fused(params, x, adj, variant, bias_mask, compute_dtype, adj_t,
     return y
 
 
+def facet_conv_nminor(
+    params: Dict[str, jnp.ndarray],
+    x_t: jnp.ndarray,
+    adj: jnp.ndarray,
+    adj_t: jnp.ndarray,
+    mult_rows: jnp.ndarray,
+    variant: FacetConvVariant = FacetConvVariant.DEFAULT,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """Node-minor (transposed) facet conv: ``x_t`` [C, N] → [out, N].
+
+    Same math as :func:`facet_conv` on a self-split deduped graph, laid out
+    for the TPU: XLA's VPU reductions want the node axis minormost (it
+    otherwise inserts layout-copies of every [N,K,C] intermediate — measured
+    ~7 ms/step, a third of the training step). Keeping activations [C, N]
+    end-to-end confines row-major to the gather itself: one small transpose
+    of ``cat`` before the gather and one big transpose of its output.
+
+    ``mult_rows`` [K+1, N] is the static fused per-slot multiplier from
+    :func:`facet_graph_convolution_tpu.graph.convert.fused_mult_rows`
+    (slot 0 = self): multiplicity × 1/deg, 0 on padding. ``adj`` [N, K]
+    lists neighbours only (self split out), ``adj_t`` its transpose map.
+    """
+    if variant not in (FacetConvVariant.DEFAULT,
+                       FacetConvVariant.TRANSLATION_INVARIANT):
+        raise NotImplementedError(
+            "node-minor conv supports the default/translation-invariant "
+            "assignments; use facet_conv for the rotation-invariant variant"
+        )
+    u, c, w, b = params["u"], params["c"], params["w"], params["b"]
+    dtype = compute_dtype or x_t.dtype
+    in_ch, n = x_t.shape
+    m, out_ch, _ = w.shape
+
+    proj = params["v"] if variant == FacetConvVariant.DEFAULT else -u
+    vx_t = proj @ x_t                                          # [M, N]
+    ux_t = u @ x_t                                             # [M, N]
+    cat_t = jnp.concatenate([x_t, vx_t], axis=0).astype(dtype)  # [C+M, N]
+    cat = cat_t.T                                              # small transpose
+    cat_nbr = gather_neighbors(cat, adj, adj_t)                # [N, K, C+M]
+    cat_nbr = jnp.concatenate([cat[:, None, :], cat_nbr], axis=1)
+    nbr_t = jnp.transpose(cat_nbr, (2, 1, 0))                  # [C+M, K+1, N]
+    x_nbr_t = nbr_t[:in_ch]
+    vx_nbr_t = nbr_t[in_ch:]
+
+    logits_t = ux_t[:, None, :].astype(dtype) + vx_nbr_t + c[:, None, None].astype(dtype)
+    q_t = jax.nn.softmax(logits_t.astype(jnp.float32), axis=0)  # over M
+    q_t = (q_t * mult_rows[None, :, :]).astype(dtype)          # [M, K+1, N]
+
+    z_t = jnp.einsum("mkn,ckn->mcn", q_t, x_nbr_t,
+                     preferred_element_type=jnp.float32)
+    z_t = z_t.reshape(m * in_ch, n).astype(dtype)
+    wf = jnp.transpose(w, (1, 0, 2)).reshape(out_ch, m * in_ch)
+    y_t = jnp.einsum("oz,zn->on", wf.astype(dtype), z_t,
+                     preferred_element_type=jnp.float32)
+    # bias where deg > 0 (reference biasMask, model.py:496-500); with the
+    # self slot always present this gates only all-padding rows
+    gate = (jnp.sum(mult_rows, axis=0) > 0).astype(y_t.dtype)
+    return y_t + b[:, None] * gate[None, :]
+
+
 def facet_conv_gather(
     params: Dict[str, jnp.ndarray],
     x: jnp.ndarray,

@@ -47,3 +47,19 @@ def tree_unpool(x: jnp.ndarray, steps: int = 1) -> jnp.ndarray:
     ``custom_upsampling``, model.py:817-825). [N, C] → [N·2^steps, C]."""
     group = 2 ** steps
     return jnp.repeat(x, group, axis=0)
+
+
+def tree_pool_nminor(x_t: jnp.ndarray, steps: int = 1, mode: str = "max") -> jnp.ndarray:
+    """Node-minor :func:`tree_pool`: ``x_t`` [C, N] → [C, N / 2^steps]."""
+    c, n = x_t.shape
+    group = 2 ** steps
+    if mode == "max":
+        return jnp.max(x_t.reshape(c, -1, group), axis=-1)
+    if mode == "avg":
+        return jnp.mean(x_t.reshape(c, -1, group), axis=-1)
+    raise ValueError(f"unknown node-minor pool mode {mode!r}")
+
+
+def tree_unpool_nminor(x_t: jnp.ndarray, steps: int = 1) -> jnp.ndarray:
+    """Node-minor :func:`tree_unpool`: [C, N] → [C, N·2^steps]."""
+    return jnp.repeat(x_t, 2 ** steps, axis=-1)

@@ -44,7 +44,11 @@ from facet_graph_convolution_tpu.models.losses import (
     face_normals_loss,
     full_chamfer_loss,
 )
-from facet_graph_convolution_tpu.models.unet import init_unet, unet_apply
+from facet_graph_convolution_tpu.models.unet import (
+    init_unet,
+    unet_apply,
+    unet_apply_nminor,
+)
 from facet_graph_convolution_tpu.ops.conv import FacetConvVariant
 from facet_graph_convolution_tpu.ops.normalization import normalize_tensor
 from facet_graph_convolution_tpu.ops.vertex_update import update_positions_multiscale
@@ -107,10 +111,9 @@ def make_normals_train_step(
         sample_idx = jax.random.randint(samp_key, (loss_samples,), 0, x.shape[0])
 
         def loss_fn(params):
-            y = unet_apply(
-                params, x, adjs, coarsening_steps=steps,
-                compute_dtype=compute_dtype, adj_ts=adj_ts, mults=mults,
-                variant=variant, alpha=alpha,
+            y = _apply_model(
+                params, x, adjs, adj_ts, mults, steps=steps,
+                variant=variant, alpha=alpha, compute_dtype=compute_dtype,
             )
             y = normalize_tensor(y)
             return face_normals_loss(
@@ -144,9 +147,8 @@ def make_normals_eval_step(cfg: Config):
     def eval_step(params, x, adjs, gt, key, adj_ts=None, mults=None):
         sample_idx = jax.random.randint(key, (loss_samples,), 0, x.shape[0])
         y = normalize_tensor(
-            unet_apply(params, x, adjs, coarsening_steps=steps,
-                       adj_ts=adj_ts, mults=mults, variant=variant,
-                       alpha=alpha)
+            _apply_model(params, x, adjs, adj_ts, mults, steps=steps,
+                         variant=variant, alpha=alpha)
         )
         return face_normals_loss(
             jnp.take(y, sample_idx, axis=0), jnp.take(gt, sample_idx, axis=0)
@@ -160,17 +162,21 @@ def _bucketed(patch: FacetPatch, align: int) -> FacetPatch:
 
 
 def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
-                  split_self: bool = True):
+                  split_self: bool = True, nminor: bool = True):
     """Compile the patch graph for the train step: dedupe duplicate K-list
     slots into multiplicity weights, split the self slot out (its features
     need no gather), and build transpose slot maps for the scatter-free
     backward (all exact transformations — tests test_transpose_gather.py).
 
-    With ``split_self`` the per-level mult entry is the pytree
-    ``(mult_nbr, self_mult)`` consumed by the fused conv; pass False for the
-    rotation-invariant variant (assignment needs the self slot gathered)."""
+    The default (``nminor``) form feeds the node-minor fast path: the mult
+    entry is ``{"rows": [K+1, N]}`` fused multiplicity/degree rows
+    (graph.convert.fused_mult_rows). ``nminor=False`` keeps the row-major
+    self-split form ``(mult_nbr, self_mult)``; ``split_self=False`` the
+    plain dedup form (required for the rotation-invariant variant, whose
+    assignment gathers the self slot's features)."""
     from facet_graph_convolution_tpu.graph.convert import (
         dedupe_klist,
+        fused_mult_rows,
         split_self_klist,
         transpose_adjacency,
     )
@@ -184,12 +190,34 @@ def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
         a_u, mult = dedupe_klist(a)
         if split_self:
             a_u, mult_n, self_mult = split_self_klist(a_u, mult)
-            mults.append((jnp.asarray(mult_n), jnp.asarray(self_mult)))
+            if nminor:
+                mults.append(
+                    {"rows": jnp.asarray(fused_mult_rows(mult_n, self_mult))}
+                )
+            else:
+                mults.append((jnp.asarray(mult_n), jnp.asarray(self_mult)))
         else:
             mults.append(jnp.asarray(mult))
         adjs.append(jnp.asarray(a_u))
         adj_ts.append(jnp.asarray(transpose_adjacency(a_u)))
     return x, tuple(adjs), gt, tuple(adj_ts), tuple(mults)
+
+
+def _apply_model(params, x, adjs, adj_ts, mults, *, steps, variant, alpha,
+                 compute_dtype=None, multi_scale=False):
+    """Dispatch on the graph-array form: node-minor fast path when mults
+    carry fused rows, the row-major path otherwise."""
+    if mults is not None and len(mults) and isinstance(mults[0], dict):
+        return unet_apply_nminor(
+            params, x, adjs, adj_ts, [mm["rows"] for mm in mults],
+            coarsening_steps=steps, multi_scale=multi_scale,
+            variant=variant, alpha=alpha, compute_dtype=compute_dtype,
+        )
+    return unet_apply(
+        params, x, adjs, coarsening_steps=steps, multi_scale=multi_scale,
+        compute_dtype=compute_dtype, adj_ts=adj_ts, mults=mults,
+        variant=variant, alpha=alpha,
+    )
 
 
 def _stack_patch_arrays(arrays):
@@ -213,9 +241,12 @@ def _stack_patch_arrays(arrays):
             for parts in zip(*leaf_rows):
                 mats = [np.asarray(p) for p in parts]
                 if mats[0].ndim == 2:
-                    width = max(m.shape[1] for m in mats)
+                    # K-ish widths vary per patch on either axis (adj/adj_t/
+                    # mult pad dim 1; node-minor mult_rows pad dim 0)
+                    d0 = max(m.shape[0] for m in mats)
+                    d1 = max(m.shape[1] for m in mats)
                     mats = [
-                        np.pad(m, ((0, 0), (0, width - m.shape[1])))
+                        np.pad(m, ((0, d0 - m.shape[0]), (0, d1 - m.shape[1])))
                         for m in mats
                     ]
                 stacked.append(jnp.asarray(np.stack(mats)))

@@ -113,14 +113,29 @@ def test_validation_uses_multiplicity(tiny_cfg, sphere_set, tmp_path):
     y_raw = normalize_tensor(jax.jit(unet_apply)(state.params, x_raw, adjs_raw))
     ref = float(face_normals_loss(y_raw, gt))
 
+    from facet_graph_convolution_tpu.ops.conv import FacetConvVariant
+    from facet_graph_convolution_tpu.training.trainer import _apply_model
+
+    # node-minor fast path (the default form)
     x, adjs, gt2, adj_ts, mults = _patch_arrays(patch)
+    assert isinstance(mults[0], dict)
     y_opt = normalize_tensor(
+        jax.jit(lambda p, xx: _apply_model(
+            p, xx, adjs, adj_ts, mults, steps=2,
+            variant=FacetConvVariant.DEFAULT, alpha=0.1))(state.params, x)
+    )
+    opt = float(face_normals_loss(y_opt, gt2))
+    np.testing.assert_allclose(opt, ref, rtol=1e-5)
+
+    # row-major self-split path
+    x, adjs, gt2, adj_ts, mults = _patch_arrays(patch, nminor=False)
+    y_opt2 = normalize_tensor(
         jax.jit(lambda p, xx: unet_apply(p, xx, adjs, adj_ts=adj_ts, mults=mults))(
             state.params, x
         )
     )
-    opt = float(face_normals_loss(y_opt, gt2))
-    np.testing.assert_allclose(opt, ref, rtol=1e-5)
+    opt2 = float(face_normals_loss(y_opt2, gt2))
+    np.testing.assert_allclose(opt2, ref, rtol=1e-5)
 
     # NOTE: after coarsening, scipy COO summation has already deduplicated
     # the K-lists (multiplicities are all 1, matching the reference), so the

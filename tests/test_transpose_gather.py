@@ -224,11 +224,12 @@ def test_patch_arrays_self_split_step_parity(rng):
 
     losses = []
     states = []
-    for split in (False, True):
-        x, adjs, gt, adj_ts, mults = _patch_arrays(patch, split_self=split)
+    for kw in (dict(split_self=False), dict(nminor=False), dict()):
+        x, adjs, gt, adj_ts, mults = _patch_arrays(patch, **kw)
         st, loss = step(state, x, adjs, gt, key, adj_ts, mults)
         losses.append(float(loss))
         states.append(st)
     assert abs(losses[0] - losses[1]) < 1e-4
+    assert abs(losses[0] - losses[2]) < 1e-4    # node-minor fast path
     for a, b in zip(jax.tree.leaves(states[0].params), jax.tree.leaves(states[1].params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
