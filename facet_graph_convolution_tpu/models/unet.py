@@ -171,6 +171,82 @@ def unet_apply(
     return y_fine
 
 
+def unet_apply_pallas(
+    params: Dict,
+    x: jnp.ndarray,
+    adjs: Sequence[jnp.ndarray],
+    adj_ts: Sequence[jnp.ndarray],
+    mult_rows: Sequence[jnp.ndarray],
+    coarsening_steps: int = 2,
+    multi_scale: bool = False,
+    alpha: float = 0.1,
+    variant: FacetConvVariant = FacetConvVariant.DEFAULT,
+    compute_dtype=None,
+) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Forward pass with the fused Pallas conv epilogue
+    (:func:`facet_graph_convolution_tpu.ops.pallas_conv.facet_conv_pallas`).
+
+    ``adjs`` are slot-major [K, N] neighbour lists, ``adj_ts`` their
+    slot-major transpose maps, ``mult_rows`` the [K+1, N, 1] fused
+    multiplicity/degree rows (trainer ``_patch_arrays(pallas=True)``).
+    """
+    from facet_graph_convolution_tpu.ops.pallas_conv import facet_conv_pallas
+
+    if variant not in (FacetConvVariant.DEFAULT,
+                       FacetConvVariant.TRANSLATION_INVARIANT):
+        raise NotImplementedError("pallas path: default/translation-invariant only")
+    ti = variant == FacetConvVariant.TRANSLATION_INVARIANT
+    tmap = dict(zip([id(a) for a in adjs], zip(adj_ts, mult_rows)))
+
+    def conv(name, h, a):
+        adj_t, rows = tmap[id(a)]
+        return facet_conv_pallas(
+            params[name], h, a, adj_t, rows,
+            translation_invariant=ti, compute_dtype=compute_dtype,
+        )
+
+    h1 = lrelu(conv("conv1", x, adjs[0]), alpha)
+    if len(adjs) == 1:
+        if multi_scale:
+            raise ValueError("multi_scale heads need the 3-level pyramid")
+        h = h1
+        if "dconv1_single" in params:
+            h = lrelu(conv("dconv1_single", h, adjs[0]), alpha)
+        h = lrelu(linear(params["fc1"], h), alpha)
+        return linear(params["out0"], h)
+
+    p1 = tree_pool(h1, steps=coarsening_steps, mode="max")
+    h2 = lrelu(conv("conv2", p1, adjs[1]), alpha)
+    p2 = tree_pool(h2, steps=coarsening_steps, mode="max")
+    h3 = lrelu(conv("conv3", p2, adjs[2]), alpha)
+    d3 = lrelu(conv("dconv3", h3, adjs[2]), alpha)
+
+    y_coarse = None
+    if multi_scale:
+        hc = lrelu(linear(params["fc_coarse"], d3), alpha)
+        y_coarse = linear(params["out2"], hc)
+
+    u2 = tree_unpool(d3, steps=coarsening_steps)
+    u2 = conv("upconv2", u2, adjs[1])
+    d2 = lrelu(conv("dconv2", jnp.concatenate([u2, h2], axis=-1), adjs[1]), alpha)
+
+    y_mid = None
+    if multi_scale:
+        hm = lrelu(linear(params["fc_mid"], d2), alpha)
+        y_mid = linear(params["out1"], hm)
+
+    u1 = tree_unpool(d2, steps=coarsening_steps)
+    u1 = conv("upconv1", u1, adjs[0])
+    d1 = lrelu(conv("dconv1", jnp.concatenate([u1, h1], axis=-1), adjs[0]), alpha)
+
+    h = lrelu(linear(params["fc1"], d1), alpha)
+    y_fine = linear(params["out0"], h)
+
+    if multi_scale:
+        return y_fine, y_mid, y_coarse
+    return y_fine
+
+
 def unet_apply_nminor(
     params: Dict,
     x: jnp.ndarray,

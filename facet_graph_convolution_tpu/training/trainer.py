@@ -48,6 +48,7 @@ from facet_graph_convolution_tpu.models.unet import (
     init_unet,
     unet_apply,
     unet_apply_nminor,
+    unet_apply_pallas,
 )
 from facet_graph_convolution_tpu.ops.conv import FacetConvVariant
 from facet_graph_convolution_tpu.ops.normalization import normalize_tensor
@@ -162,7 +163,8 @@ def _bucketed(patch: FacetPatch, align: int) -> FacetPatch:
 
 
 def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
-                  split_self: bool = True, nminor: bool = True):
+                  split_self: bool = True, nminor: bool = True,
+                  pallas: bool = False):
     """Compile the patch graph for the train step: dedupe duplicate K-list
     slots into multiplicity weights, split the self slot out (its features
     need no gather), and build transpose slot maps for the scatter-free
@@ -190,6 +192,18 @@ def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
         a_u, mult = dedupe_klist(a)
         if split_self:
             a_u, mult_n, self_mult = split_self_klist(a_u, mult)
+            if pallas:
+                from facet_graph_convolution_tpu.ops.pallas_conv import (
+                    slot_major_arrays,
+                )
+
+                adj_sm, adj_t_sm, rows = slot_major_arrays(
+                    a_u, mult_n, self_mult
+                )
+                adjs.append(jnp.asarray(adj_sm))
+                adj_ts.append(jnp.asarray(adj_t_sm))
+                mults.append({"pallas_rows": jnp.asarray(rows)})
+                continue
             if nminor:
                 mults.append(
                     {"rows": jnp.asarray(fused_mult_rows(mult_n, self_mult))}
@@ -206,8 +220,16 @@ def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
 def _apply_model(params, x, adjs, adj_ts, mults, *, steps, variant, alpha,
                  compute_dtype=None, multi_scale=False):
     """Dispatch on the graph-array form: node-minor fast path when mults
-    carry fused rows, the row-major path otherwise."""
+    carry fused rows, the Pallas epilogue when they carry slot-major rows,
+    the row-major path otherwise."""
     if mults is not None and len(mults) and isinstance(mults[0], dict):
+        if "pallas_rows" in mults[0]:
+            return unet_apply_pallas(
+                params, x, adjs, adj_ts,
+                [mm["pallas_rows"] for mm in mults],
+                coarsening_steps=steps, multi_scale=multi_scale,
+                variant=variant, alpha=alpha, compute_dtype=compute_dtype,
+            )
         return unet_apply_nminor(
             params, x, adjs, adj_ts, [mm["rows"] for mm in mults],
             coarsening_steps=steps, multi_scale=multi_scale,
