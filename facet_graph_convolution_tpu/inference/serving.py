@@ -1,0 +1,229 @@
+"""Serving path: batched multi-mesh inference and AOT-exported executables.
+
+The reference has no serving story — ``infer.py`` rebuilds the TF graph and
+session per run (infer.py:32-123, train.py:50-87). This module provides the
+production equivalent, TPU-first:
+
+- :class:`InferenceServer` — holds restored parameters and a cache of
+  compiled forward executables per node bucket, so repeated requests skip
+  tracing/compilation; patches from MANY meshes are padded to a shared
+  bucket and run as ONE batched (vmapped) device call, keeping the chip
+  fed instead of dispatching one small graph at a time;
+- :func:`export_forward` / :func:`load_forward` — ahead-of-time export of
+  the compiled forward as portable bytes (``jax.export``), so a serving
+  process can load and run the model without the framework's model code or
+  a tracing step.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facet_graph_convolution_tpu.config import Config, default_config
+from facet_graph_convolution_tpu.data.dataset import (
+    InferenceMesh,
+    bucket_size,
+    pad_patch_to,
+)
+from facet_graph_convolution_tpu.geometry.mesh_math import normalize_rows
+from facet_graph_convolution_tpu.models.unet import unet_apply
+from facet_graph_convolution_tpu.ops.normalization import normalize_tensor
+from facet_graph_convolution_tpu.ops.vertex_update import update_positions_edges
+
+
+def _build_mesh(vertices: np.ndarray, faces: np.ndarray, cfg: Config) -> InferenceMesh:
+    mesh = InferenceMesh(
+        max_patch_size=cfg.data.max_patch_size,
+        coarsening_steps=cfg.model.coarsening_steps,
+        coarsening_levels=cfg.model.coarsening_levels,
+        k_faces=cfg.data.k_faces,
+        min_patch_size=cfg.data.min_patch_size,
+    )
+    mesh.add_mesh(vertices, faces)
+    return mesh
+
+
+class InferenceServer:
+    """Persistent inference service over one set of trained parameters.
+
+    ``denoise`` serves a single mesh; ``denoise_batch`` pads every patch of
+    every request to one shared node bucket and runs a single batched
+    forward — the serving analogue of the trainer's bucket batching.
+    """
+
+    def __init__(self, cfg: Optional[Config] = None, params=None,
+                 bucket_align: int = 1024, solver_iterations: Optional[int] = None):
+        self.cfg = cfg or default_config()
+        if params is None:
+            from facet_graph_convolution_tpu.inference.driver import _restore_params
+
+            params = _restore_params(self.cfg, multi_scale=False)
+        self.params = params
+        self.bucket_align = bucket_align
+        self.solver_iterations = (
+            solver_iterations or self.cfg.eval.solver_iterations
+        )
+        self._compiled: Dict[Tuple[int, ...], jax.stages.Compiled] = {}
+
+    # -- compiled forward cache ------------------------------------------
+
+    def _forward_fn(self):
+        steps = self.cfg.model.coarsening_steps
+
+        def forward(params, x, a0, a1, a2):
+            y = unet_apply(params, x, (a0, a1, a2), coarsening_steps=steps)
+            return normalize_tensor(y)
+
+        return forward
+
+    def _compile(self, batch: int, shapes: Tuple[Tuple[int, int], ...]):
+        """AOT-compile the batched forward for (batch, per-level adj shapes)."""
+        key = (batch,) + tuple(s for shape in shapes for s in shape)
+        if key in self._compiled:
+            return self._compiled[key]
+        forward = self._forward_fn()
+        batched = jax.vmap(forward, in_axes=(None, 0, 0, 0, 0))
+        n0 = shapes[0][0]
+        arg_shapes = (
+            jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.params
+            ),
+            jax.ShapeDtypeStruct((batch, n0, 6), jnp.float32),
+            *[
+                jax.ShapeDtypeStruct((batch,) + s, jnp.int32)
+                for s in shapes
+            ],
+        )
+        compiled = jax.jit(batched).lower(*arg_shapes).compile()
+        self._compiled[key] = compiled
+        return compiled
+
+    # -- serving ----------------------------------------------------------
+
+    def denoise(self, vertices: np.ndarray, faces: np.ndarray):
+        """Denoise one mesh: returns (updated vertices [V,3], normals [F,3])."""
+        out = self.denoise_batch([(vertices, faces)])
+        return out[0]
+
+    def denoise_batch(self, meshes: Sequence[Tuple[np.ndarray, np.ndarray]]):
+        """Denoise several meshes in one batched device call.
+
+        All patches across all requests are padded to the largest node
+        bucket and stacked on a batch axis; the forward runs once. The
+        per-mesh vertex solver and reassembly stay per-mesh (their edge maps
+        differ in size).
+        """
+        built = [_build_mesh(v, f, self.cfg) for v, f in meshes]
+        flat: List[Tuple[int, object]] = []          # (mesh index, patch)
+        for mi, mesh in enumerate(built):
+            for p in mesh.patches:
+                flat.append((mi, p))
+
+        target = max(
+            bucket_size(p.num_nodes, self.bucket_align) for _, p in flat
+        )
+        padded = [(mi, pad_patch_to(p, target)) for mi, p in flat]
+        # per-level K widths may differ between patches: pad to the max
+        levels = len(padded[0][1].adjs)
+        k_max = [max(p.adjs[lvl].shape[1] for _, p in padded)
+                 for lvl in range(levels)]
+        xs, adjs_stacked = [], [[] for _ in range(levels)]
+        for _, p in padded:
+            xs.append(p.inputs)
+            for lvl in range(levels):
+                a = p.adjs[lvl]
+                if a.shape[1] < k_max[lvl]:
+                    a = np.pad(a, ((0, 0), (0, k_max[lvl] - a.shape[1])))
+                adjs_stacked[lvl].append(a)
+        x_b = jnp.asarray(np.stack(xs))
+        adj_b = [jnp.asarray(np.stack(lv)) for lv in adjs_stacked]
+        shapes = tuple(tuple(a.shape[1:]) for a in adj_b)
+
+        compiled = self._compile(len(padded), shapes)
+        out = np.asarray(compiled(self.params, x_b, *adj_b))
+
+        # reassemble per mesh (overlap-sum + normalize, train.py:123-136)
+        results = []
+        for mi, mesh in enumerate(built):
+            predicted = np.zeros((mesh.num_faces, 3), np.float64)
+            for bi, (pmi, p) in enumerate(padded):
+                if pmi != mi:
+                    continue
+                vals = out[bi]
+                if p.perm_inv is not None:
+                    vals = vals[p.perm_inv]
+                predicted[p.patch_indices] += vals[: p.num_real]
+            predicted = normalize_rows(predicted.astype(np.float32))
+            refined = update_positions_edges(
+                jnp.asarray(mesh.vertices),
+                jnp.asarray(predicted),
+                jnp.asarray(mesh.edge_map),
+                jnp.asarray(mesh.v_e_map),
+                iter_num=self.solver_iterations,
+                checkpoint=False,
+            )
+            results.append((np.asarray(refined), predicted))
+        return results
+
+
+# ---------------------------------------------------------------------------
+# AOT export (portable compiled forward)
+# ---------------------------------------------------------------------------
+
+def export_forward(
+    cfg: Config,
+    params,
+    num_nodes: int,
+    adj_widths: Sequence[int],
+    batch: int = 1,
+) -> bytes:
+    """Serialize the batched forward as a portable executable spec
+    (``jax.export``): the bytes embed StableHLO + the calling convention and
+    can be loaded by :func:`load_forward` in a process without this model
+    code. Weights are baked in as constants."""
+    from jax import export as jax_export
+
+    steps = cfg.model.coarsening_steps
+
+    def forward(x, a0, a1, a2):
+        y = jax.vmap(
+            lambda xx, b0, b1, b2: normalize_tensor(
+                unet_apply(params, xx, (b0, b1, b2), coarsening_steps=steps)
+            )
+        )(x, a0, a1, a2)
+        return y
+
+    n = num_nodes
+    args = (
+        jax.ShapeDtypeStruct((batch, n, 6), jnp.float32),
+        jax.ShapeDtypeStruct((batch, n, adj_widths[0]), jnp.int32),
+        jax.ShapeDtypeStruct((batch, n // 4, adj_widths[1]), jnp.int32),
+        jax.ShapeDtypeStruct((batch, n // 16, adj_widths[2]), jnp.int32),
+    )
+    exported = jax_export.export(jax.jit(forward))(*args)
+    return bytes(exported.serialize())
+
+
+def load_forward(data: bytes):
+    """Deserialize an exported forward; returns a callable
+    ``(x [B,N,6], adj0, adj1, adj2) -> normals [B,N,3]``."""
+    from jax import export as jax_export
+
+    exported = jax_export.deserialize(data)
+    return lambda *args: exported.call(*args)
+
+
+def save_exported(path: str, data: bytes) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(data)
+
+
+def load_exported(path: str) -> bytes:
+    with open(path, "rb") as fh:
+        return fh.read()
