@@ -8,8 +8,14 @@ from facet_graph_convolution_tpu.data.preprocess import preprocess_directory
 
 def main():
     parser = add_cli_overrides(argparse.ArgumentParser())
-    cfg = config_from_args(parser.parse_args())
-    preprocess_directory(cfg)
+    parser.add_argument(
+        "--shard_size", type=int, default=None,
+        help="also write the training set as streaming shards of this many "
+             "patches (for `train --stream_dir`)",
+    )
+    args = parser.parse_args()
+    cfg = config_from_args(args)
+    preprocess_directory(cfg, shard_size=args.shard_size)
     print(f"Preprocessing complete. Dumps saved to {cfg.data.binary_dump_path}")
 
 

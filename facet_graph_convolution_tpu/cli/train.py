@@ -18,8 +18,20 @@ def main():
         help="scan this many train steps per dispatch (default: 100 on TPU, "
              "1 elsewhere) — amortizes host/tunnel latency",
     )
+    parser.add_argument(
+        "--stream_dir", type=str, default=None,
+        help="train from a sharded dataset directory (data/stream.py) with "
+             "background prefetch instead of loading the whole set",
+    )
     args = parser.parse_args()
     cfg = config_from_args(args)
+    if args.stream_dir:
+        from facet_graph_convolution_tpu.training.trainer import (
+            train_normals_streaming,
+        )
+
+        train_normals_streaming(cfg, args.stream_dir)
+        return
     suffix = "WithVertices" if cfg.model.include_vertices else ""
     train_path = os.path.join(cfg.data.binary_dump_path, f"trainingSet{suffix}.npz")
     valid_path = os.path.join(cfg.data.binary_dump_path, f"validSet{suffix}.npz")

@@ -85,9 +85,13 @@ def _build_set(
     return ds
 
 
-def preprocess_directory(cfg: Optional[Config] = None, with_vertices: Optional[bool] = None):
+def preprocess_directory(cfg: Optional[Config] = None,
+                         with_vertices: Optional[bool] = None,
+                         shard_size: Optional[int] = None):
     """Build and save training + validation datasets (reference
-    ``pickleData``, preprocess.py:7-49)."""
+    ``pickleData``, preprocess.py:7-49). ``shard_size`` additionally writes
+    the training set as streaming shards (data/stream.py) for
+    ``train --stream_dir``."""
     cfg = cfg or default_config()
     if with_vertices is None:
         with_vertices = cfg.model.include_vertices
@@ -100,6 +104,14 @@ def preprocess_directory(cfg: Optional[Config] = None, with_vertices: Optional[b
     train_path = os.path.join(cfg.data.binary_dump_path, f"trainingSet{suffix}.npz")
     save_dataset(train, train_path)
     print(f"saved {len(train.patches)} training patches → {train_path}")
+    if shard_size:
+        from facet_graph_convolution_tpu.data.stream import save_sharded
+
+        shard_dir = os.path.join(
+            cfg.data.binary_dump_path, f"trainingShards{suffix}"
+        )
+        n = save_sharded(train, shard_dir, patches_per_shard=shard_size)
+        print(f"saved {n} streaming shards → {shard_dir}")
 
     if os.path.isdir(cfg.data.valid_data_path) and os.listdir(cfg.data.valid_data_path):
         valid = _build_set(

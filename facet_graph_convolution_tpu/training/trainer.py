@@ -437,6 +437,62 @@ def train_normals(
     return state, hist
 
 
+def train_normals_streaming(
+    cfg: Config,
+    shard_dir: str,
+    num_iterations: Optional[int] = None,
+    bucket_align: int = 1024,
+    prefetch_depth: int = 2,
+) -> Tuple[TrainState, np.ndarray]:
+    """Normals training from a sharded on-disk dataset with host-overlap
+    prefetch (data/stream.py): patches load lazily from npz shards, graph
+    prep + H2D staging run on a background thread, and the device consumes
+    a double-buffered queue — the scale-out replacement for loading the
+    whole pickled set up front (reference train.py:1901-1906)."""
+    from facet_graph_convolution_tpu.data.stream import (
+        PrefetchLoader,
+        ShardedDataset,
+    )
+
+    iters = num_iterations or cfg.train.num_iterations
+    key = jax.random.PRNGKey(cfg.train.seed)
+    state, tx = create_train_state(key, cfg)
+    step_fn = make_normals_train_step(tx, cfg)
+    ckpt = CheckpointManager(cfg.train.network_path, cfg.train.net_name)
+    state, start_step = ckpt.restore(state)
+
+    split = _config_variant(cfg) != FacetConvVariant.ROTATION_INVARIANT
+
+    def prepare(patch):
+        return _patch_arrays(_bucketed(patch, bucket_align), split_self=split)
+
+    ds = ShardedDataset(shard_dir)
+    loader = PrefetchLoader(
+        ds, prepare, seed=cfg.train.seed, depth=prefetch_depth,
+        num_items=iters,
+    )
+    loss_hist = []
+    t_start = time.time()
+    try:
+        for it, (x, adjs, gt, adj_ts, mults) in enumerate(loader):
+            key, sub = jax.random.split(key)
+            state, loss = step_fn(state, x, adjs, gt, sub, adj_ts, mults)
+            loss_hist.append(float(loss))
+            if it % cfg.train.eval_every == 0:
+                print(f"iter {it}: loss {loss_hist[-1]:.4f} "
+                      f"({time.time() - t_start:.1f}s)")
+            if not np.isfinite(loss_hist[-1]):
+                print("NaN training loss — aborting")
+                break
+            if it > 0 and it % cfg.train.save_every == 0:
+                ckpt.save(start_step + it, state)
+    finally:
+        loader.close()
+    ckpt.save(start_step + len(loss_hist), state)
+    ckpt.close()
+    return state, np.asarray(loss_hist)
+
+
 # ---------------------------------------------------------------------------
 # Vertex-supervised step (reference trainAccuracyNet / trainDoubleLossNet):
 # multiScale forward → in-graph multi-scale vertex solver → sampled chamfer
