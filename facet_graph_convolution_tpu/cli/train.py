@@ -30,7 +30,15 @@ def main():
             train_normals_streaming,
         )
 
-        train_normals_streaming(cfg, args.stream_dir)
+        if args.steps_per_call not in (None, 1):
+            print("note: --steps_per_call is ignored with --stream_dir "
+                  "(streaming dispatches one prefetched step at a time)")
+        suffix = "WithVertices" if cfg.model.include_vertices else ""
+        valid_path = os.path.join(cfg.data.binary_dump_path,
+                                  f"validSet{suffix}.npz")
+        valid_set = (load_dataset(valid_path)
+                     if os.path.isfile(valid_path) else None)
+        train_normals_streaming(cfg, args.stream_dir, valid_set=valid_set)
         return
     suffix = "WithVertices" if cfg.model.include_vertices else ""
     train_path = os.path.join(cfg.data.binary_dump_path, f"trainingSet{suffix}.npz")

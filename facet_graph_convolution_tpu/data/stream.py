@@ -105,11 +105,17 @@ class ShardedDataset:
 class PrefetchLoader:
     """Background prefetch of prepared training items.
 
-    ``prepare`` maps a raw patch to whatever the training step consumes
+    ``prepare(patch, index)`` maps a raw patch (and its global index, a
+    stable memoization key) to whatever the training step consumes
     (typically ``_patch_arrays`` after bucket padding, returning device
     arrays — building them on the loader thread overlaps host prep and H2D
-    copies with the previous device step). Items arrive in the sampled
-    order; ``depth`` bounds staged memory.
+    copies with the previous device step). ``depth`` bounds staged memory.
+
+    Sampling is shard-aware: shards are visited in a fresh random order per
+    epoch and each resident shard's patches are drained in shuffled order
+    before the next shard loads — one shard decompression amortizes over all
+    of its patches instead of one (uniform i.i.d. sampling over a large
+    corpus would reload a shard for nearly every draw).
     """
 
     def __init__(
@@ -129,15 +135,26 @@ class PrefetchLoader:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
+    def _indices(self):
+        """Yield patch indices forever: shuffled shards, shuffled within."""
+        shards = self.dataset.index["shards"]
+        starts = np.cumsum([0] + [s["num_patches"] for s in shards])
+        while True:
+            for si in self._rng.permutation(len(shards)):
+                local = self._rng.permutation(shards[si]["num_patches"])
+                for li in local:
+                    yield int(starts[si] + li)
+
     def _run(self):
         produced = 0
+        order = self._indices()
         try:
             while not self._stop.is_set():
                 if self.num_items is not None and produced >= self.num_items:
                     self._q.put(StopIteration)
                     return
-                idx = int(self._rng.integers(len(self.dataset)))
-                item = self.prepare(self.dataset.patch(idx))
+                idx = next(order)
+                item = self.prepare(self.dataset.patch(idx), idx)
                 produced += 1
                 while not self._stop.is_set():
                     try:

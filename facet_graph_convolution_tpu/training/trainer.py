@@ -440,6 +440,7 @@ def train_normals(
 def train_normals_streaming(
     cfg: Config,
     shard_dir: str,
+    valid_set: Optional[MeshDataset] = None,
     num_iterations: Optional[int] = None,
     bucket_align: int = 1024,
     prefetch_depth: int = 2,
@@ -463,34 +464,82 @@ def train_normals_streaming(
 
     split = _config_variant(cfg) != FacetConvVariant.ROTATION_INVARIANT
 
-    def prepare(patch):
-        return _patch_arrays(_bucketed(patch, bucket_align), split_self=split)
+    # memoize the per-patch graph compile: prep (dedupe, transpose maps,
+    # fused rows, H2D) runs once per patch, not once per draw
+    import collections as _collections
+
+    prepared: "_collections.OrderedDict" = _collections.OrderedDict()
+    max_prepared = 64
+
+    def prepare(patch, idx):
+        # keyed by the global patch index — patch OBJECTS are re-created when
+        # the shard LRU evicts and reloads, and a freed object's id() can be
+        # reused, so identity is not a safe key
+        if idx in prepared:
+            prepared.move_to_end(idx)
+            return prepared[idx]
+        arrays = _patch_arrays(_bucketed(patch, bucket_align),
+                               split_self=split)
+        prepared[idx] = arrays
+        while len(prepared) > max_prepared:
+            prepared.popitem(last=False)
+        return arrays
 
     ds = ShardedDataset(shard_dir)
+    valid_arrays = []
+    if valid_set is not None:
+        eval_fn = make_normals_eval_step(cfg)
+        valid_arrays = [
+            _patch_arrays(_bucketed(p, bucket_align), split_self=split)
+            for p in valid_set.patches
+        ]
     loader = PrefetchLoader(
         ds, prepare, seed=cfg.train.seed, depth=prefetch_depth,
         num_items=iters,
     )
-    loss_hist = []
+    loss_hist: List[Tuple[float, float]] = []
+    smooth_loss, smooth_n, last_valid = 0.0, 0, float("nan")
     t_start = time.time()
+    aborted = False
     try:
         for it, (x, adjs, gt, adj_ts, mults) in enumerate(loader):
             key, sub = jax.random.split(key)
             state, loss = step_fn(state, x, adjs, gt, sub, adj_ts, mults)
-            loss_hist.append(float(loss))
+            smooth_loss += float(loss)
+            smooth_n += 1
+            if valid_arrays and it % cfg.train.valid_every == 0:
+                vloss = 0.0
+                for vx, vadjs, vgt, vts, vm in valid_arrays:
+                    key, sub = jax.random.split(key)
+                    vloss += float(
+                        eval_fn(state.params, vx, vadjs, vgt, sub, vts, vm)
+                    )
+                last_valid = vloss / len(valid_arrays)
             if it % cfg.train.eval_every == 0:
-                print(f"iter {it}: loss {loss_hist[-1]:.4f} "
+                avg = smooth_loss / max(smooth_n, 1)
+                loss_hist.append((avg, last_valid))
+                print(f"iter {it}: train loss {avg:.4f} "
                       f"({time.time() - t_start:.1f}s)")
-            if not np.isfinite(loss_hist[-1]):
-                print("NaN training loss — aborting")
-                break
+                if not np.isfinite(avg):
+                    print("NaN training loss — aborting")
+                    aborted = True
+                    break
+                smooth_loss, smooth_n = 0.0, 0
             if it > 0 and it % cfg.train.save_every == 0:
                 ckpt.save(start_step + it, state)
     finally:
         loader.close()
-    ckpt.save(start_step + len(loss_hist), state)
+    if not aborted:
+        ckpt.save(start_step + iters, state)
     ckpt.close()
-    return state, np.asarray(loss_hist)
+    # same artifact contract as train_normals: (train, valid) history rows
+    # appended to <network_path>/<net_name>.csv (reference train.py:629-632)
+    hist = np.asarray(loss_hist, dtype=np.float64)
+    os.makedirs(cfg.train.network_path, exist_ok=True)
+    csv_path = os.path.join(cfg.train.network_path, cfg.train.net_name + ".csv")
+    with open(csv_path, "ab") as fh:
+        np.savetxt(fh, hist, delimiter=",")
+    return state, hist
 
 
 # ---------------------------------------------------------------------------
