@@ -222,18 +222,29 @@ def _sharded_conv(params, x, adj, adj_t, send_idx, recv_mask, offsets, axis,
     from facet_graph_convolution_tpu.ops.gather import gather_neighbors
 
     u, c = params["u"], params["c"]
-    x_ext = _halo_extend(x, send_idx, recv_mask, offsets, axis)
-    x_nbr = gather_neighbors(x_ext, adj, adj_t)          # [n, K, C]
+    in_ch = x.shape[-1]
 
     if variant == FacetConvVariant.DEFAULT:
-        ux = x @ u.T
-        vx_nbr = jnp.einsum("nkc,mc->nkm", x_nbr, params["v"])
-        logits = ux[:, None, :] + vx_nbr + c
+        proj = params["v"]
     elif variant == FacetConvVariant.TRANSLATION_INVARIANT:
-        diff = x[:, None, :] - x_nbr
-        logits = jnp.einsum("nkc,mc->nkm", diff, u) + c
+        # u·(x_i − x_j) = u·x_i + (−u)·x_j — same identity as the
+        # single-chip fused path (ops/conv._facet_conv_fused)
+        proj = -u
     else:
         raise NotImplementedError("rotation-invariant sharded conv")
+
+    # ONE fused halo exchange + gather of [x | v·x]: the assignment
+    # projection commutes with both the exchange and the gather, so the
+    # per-conv [n,K,C]×[M,C] neighbour einsum collapses into M extra gathered
+    # lanes (gather cost is row-overhead bound, width-insensitive)
+    cat = jnp.concatenate([x, x @ proj.T], axis=-1)      # [n, C+M]
+    cat_ext = _halo_extend(cat, send_idx, recv_mask, offsets, axis)
+    cat_nbr = gather_neighbors(cat_ext, adj, adj_t)      # [n, K, C+M]
+    x_nbr = cat_nbr[..., :in_ch]
+    vx_nbr = cat_nbr[..., in_ch:]
+
+    ux = x @ u.T
+    logits = ux[:, None, :] + vx_nbr + c
     q = jax.nn.softmax(logits, axis=-1)
 
     deg = jnp.count_nonzero(adj, axis=-1)
