@@ -61,11 +61,13 @@ class LevelPartition:
     num_nodes: int
     block: int                       # n = num_nodes / D
     offsets: Tuple[int, ...]         # ring offsets (nonzero, e.g. (1, -1, 2))
-    local_adj: np.ndarray
+    local_adj: np.ndarray            # [D, n, K'] deduped, neighbours-only
     local_adj_t: np.ndarray          # [D, ext, K_t] transpose slot maps
     send_idx: np.ndarray
     recv_mask: np.ndarray
     halo_size: int                   # H per offset (uniform, padded)
+    mult: np.ndarray                 # [D, n, K'] slot multiplicities
+    self_mult: np.ndarray            # [D, n] self-slot multiplicity
 
 
 @dataclasses.dataclass
@@ -137,10 +139,34 @@ def _partition_level(adj: np.ndarray, num_shards: int) -> LevelPartition:
         out[remote_mask] = np.asarray([slot_of[int(g)] for g in flat]) + 1
         local_adj[s] = out
 
+    # dedupe duplicate K-list slots into multiplicities and split the self
+    # slot out (its features are the local row — no gather) per shard, the
+    # same exact transformations as the single-chip fast path
+    # (graph.convert.dedupe_klist / split_self_klist); degree = mult sums
+    # stays the original non-zero count, so global normalization is exact
+    from facet_graph_convolution_tpu.graph.convert import (
+        dedupe_klist,
+        split_self_klist,
+        transpose_adjacency,
+    )
+
+    nbrs, mults, selfs = [], [], []
+    for s in range(num_shards):
+        a_u, mlt = dedupe_klist(local_adj[s])
+        nbr, m_n, s_m = split_self_klist(a_u, mlt)
+        nbrs.append(nbr)
+        mults.append(m_n)
+        selfs.append(s_m)
+    k_n = max(a.shape[1] for a in nbrs)
+    local_adj = np.zeros((num_shards, block, k_n), dtype=np.int32)
+    mult = np.zeros((num_shards, block, k_n), dtype=np.float32)
+    for s in range(num_shards):
+        local_adj[s, :, : nbrs[s].shape[1]] = nbrs[s]
+        mult[s, :, : mults[s].shape[1]] = mults[s]
+    self_mult = np.stack(selfs)
+
     # transpose slot maps over the halo-extended index space, for the
     # scatter-free gather backward inside each shard
-    from facet_graph_convolution_tpu.graph.convert import transpose_adjacency
-
     ext = block + num_off * halo
     t_maps = [transpose_adjacency(local_adj[s], num_targets=ext)
               for s in range(num_shards)]
@@ -158,6 +184,8 @@ def _partition_level(adj: np.ndarray, num_shards: int) -> LevelPartition:
         send_idx=send_idx.clip(min=0),  # -1 → 0 (sends row 0; receiver masks)
         recv_mask=recv_mask,
         halo_size=halo,
+        mult=mult,
+        self_mult=self_mult,
     )
 
 
@@ -176,13 +204,15 @@ def build_partition(
 
 def partition_operands(part: GraphPartition):
     """Per-level device operands:
-    (local_adj, local_adj_t, send_idx, recv_mask) tuples."""
+    (local_adj, local_adj_t, send_idx, recv_mask, mult, self_mult) tuples."""
     return tuple(
         (
             jnp.asarray(lvl.local_adj),
             jnp.asarray(lvl.local_adj_t),
             jnp.asarray(lvl.send_idx),
             jnp.asarray(lvl.recv_mask),
+            jnp.asarray(lvl.mult),
+            jnp.asarray(lvl.self_mult),
         )
         for lvl in part.levels
     )
@@ -209,15 +239,17 @@ def _halo_extend(x, send_idx, recv_mask, offsets, axis):
     return jnp.concatenate(parts, axis=0)
 
 
-def _sharded_conv(params, x, adj, adj_t, send_idx, recv_mask, offsets, axis,
-                  variant=FacetConvVariant.DEFAULT):
+def _sharded_conv(params, x, adj, adj_t, send_idx, recv_mask, mult, self_mult,
+                  offsets, axis, variant=FacetConvVariant.DEFAULT):
     """Facet conv on one shard: halo-extend then aggregate-transform.
 
     Matches :func:`facet_graph_convolution_tpu.ops.conv.facet_conv` on the
-    full graph: ``adj`` rows hold each owned node's complete neighbour list,
-    so degrees (and the bias mask) are globally exact. ``adj_t`` (over the
-    halo-extended index space) makes the gather backward scatter-free; the
-    halo rows' cotangents ride the reversed ppermute automatically.
+    full graph. ``adj`` is the deduped neighbours-only K-list with ``mult``
+    slot multiplicities and the self slot split out (``self_mult``), so
+    degrees — mult sums — equal the raw non-zero counts and the bias mask is
+    globally exact. ``adj_t`` (over the halo-extended index space) makes the
+    gather backward scatter-free; the halo rows' cotangents ride the
+    reversed ppermute automatically.
     """
     from facet_graph_convolution_tpu.ops.gather import gather_neighbors
 
@@ -236,18 +268,21 @@ def _sharded_conv(params, x, adj, adj_t, send_idx, recv_mask, offsets, axis,
     # ONE fused halo exchange + gather of [x | v·x]: the assignment
     # projection commutes with both the exchange and the gather, so the
     # per-conv [n,K,C]×[M,C] neighbour einsum collapses into M extra gathered
-    # lanes (gather cost is row-overhead bound, width-insensitive)
+    # lanes (gather cost is row-overhead bound, width-insensitive); the self
+    # slot is the local row, prepended without a gather
     cat = jnp.concatenate([x, x @ proj.T], axis=-1)      # [n, C+M]
     cat_ext = _halo_extend(cat, send_idx, recv_mask, offsets, axis)
-    cat_nbr = gather_neighbors(cat_ext, adj, adj_t)      # [n, K, C+M]
+    cat_nbr = gather_neighbors(cat_ext, adj, adj_t)      # [n, K', C+M]
+    cat_nbr = jnp.concatenate([cat[:, None, :], cat_nbr], axis=1)
+    mult_all = jnp.concatenate([self_mult[:, None], mult], axis=1)
     x_nbr = cat_nbr[..., :in_ch]
     vx_nbr = cat_nbr[..., in_ch:]
 
     ux = x @ u.T
     logits = ux[:, None, :] + vx_nbr + c
-    q = jax.nn.softmax(logits, axis=-1)
+    q = jax.nn.softmax(logits, axis=-1) * mult_all[:, :, None]
 
-    deg = jnp.count_nonzero(adj, axis=-1)
+    deg = jnp.sum(mult_all, axis=-1)
     inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1), 0.0)
     z = jnp.einsum("nkm,nkc->nmc", q, x_nbr) * inv_deg[:, None, None]
     y = jnp.einsum("nmc,moc->no", z, params["w"],
@@ -290,16 +325,18 @@ def sharded_unet_forward_local(
     """U-Net forward on one shard (runs inside shard_map). Mirrors
     ``unet_apply`` layer-for-layer with halo-extended convs and local tree
     pool/unpool (partition alignment keeps sibling groups shard-local)."""
-    (adj0, t0, s0, m0), (adj1, t1, s1, m1), (adj2, t2, s2, m2) = level_operands
+    ops0, ops1, ops2 = level_operands
     o0, o1, o2 = offsets_per_level
-    conv = _sharded_conv
 
-    h1 = lrelu(conv(params["conv1"], x, adj0, t0, s0, m0, o0, axis), alpha)
+    def conv(p, h, ops, offs):
+        return _sharded_conv(p, h, *ops, offs, axis)
+
+    h1 = lrelu(conv(params["conv1"], x, ops0, o0), alpha)
     p1 = tree_pool(h1, steps=coarsening_steps, mode="max")
-    h2 = lrelu(conv(params["conv2"], p1, adj1, t1, s1, m1, o1, axis), alpha)
+    h2 = lrelu(conv(params["conv2"], p1, ops1, o1), alpha)
     p2 = tree_pool(h2, steps=coarsening_steps, mode="max")
-    h3 = lrelu(conv(params["conv3"], p2, adj2, t2, s2, m2, o2, axis), alpha)
-    d3 = lrelu(conv(params["dconv3"], h3, adj2, t2, s2, m2, o2, axis), alpha)
+    h3 = lrelu(conv(params["conv3"], p2, ops2, o2), alpha)
+    d3 = lrelu(conv(params["dconv3"], h3, ops2, o2), alpha)
 
     y_coarse = None
     if multi_scale:
@@ -307,10 +344,9 @@ def sharded_unet_forward_local(
         y_coarse = hc @ params["out2"]["w"] + params["out2"]["b"]
 
     u2 = tree_unpool(d3, steps=coarsening_steps)
-    u2 = conv(params["upconv2"], u2, adj1, t1, s1, m1, o1, axis)
+    u2 = conv(params["upconv2"], u2, ops1, o1)
     d2 = lrelu(
-        conv(params["dconv2"], jnp.concatenate([u2, h2], axis=-1),
-             adj1, t1, s1, m1, o1, axis),
+        conv(params["dconv2"], jnp.concatenate([u2, h2], axis=-1), ops1, o1),
         alpha,
     )
     y_mid = None
@@ -319,10 +355,9 @@ def sharded_unet_forward_local(
         y_mid = hm @ params["out1"]["w"] + params["out1"]["b"]
 
     u1 = tree_unpool(d2, steps=coarsening_steps)
-    u1 = conv(params["upconv1"], u1, adj0, t0, s0, m0, o0, axis)
+    u1 = conv(params["upconv1"], u1, ops0, o0)
     d1 = lrelu(
-        conv(params["dconv1"], jnp.concatenate([u1, h1], axis=-1),
-             adj0, t0, s0, m0, o0, axis),
+        conv(params["dconv1"], jnp.concatenate([u1, h1], axis=-1), ops0, o0),
         alpha,
     )
     h = lrelu(d1 @ params["fc1"]["w"] + params["fc1"]["b"], alpha)
@@ -352,15 +387,13 @@ def sharded_unet_apply(
     in_specs = (
         P(),
         P(axis),
-        tuple((P(axis), P(axis), P(axis), P(axis)) for _ in operands),
+        jax.tree.map(lambda _: P(axis), operands),
     )
     out_specs = (P(axis), P(axis), P(axis)) if multi_scale else P(axis)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     def run(params, x_block, level_ops):
-        level_ops = tuple(
-            (a[0], t[0], s[0], m[0]) for (a, t, s, m) in level_ops
-        )
+        level_ops = jax.tree.map(lambda arr: arr[0], level_ops)
         y = sharded_unet_forward_local(
             params, x_block, level_ops, offsets, axis,
             coarsening_steps=coarsening_steps, multi_scale=multi_scale,
@@ -394,7 +427,7 @@ def make_sharded_train_step(
         P(axis),
         P(axis),
         P(axis),
-        tuple((P(axis), P(axis), P(axis), P(axis)) for _ in operands),
+        jax.tree.map(lambda _: P(axis), operands),
     )
 
     @partial(
@@ -402,7 +435,7 @@ def make_sharded_train_step(
         in_specs=in_specs, out_specs=(P(), P()),
     )
     def loss_and_grads(params, x_block, gt_block, mask_block, level_ops):
-        level_ops = tuple((a[0], t[0], s[0], m[0]) for (a, t, s, m) in level_ops)
+        level_ops = jax.tree.map(lambda arr: arr[0], level_ops)
 
         def loss_fn(params):
             y = sharded_unet_forward_local(

@@ -118,7 +118,7 @@ def make_sharded_vertex_train_step(
     in_specs = (
         P(),                                      # params
         P(axis), P(axis), P(axis), P(axis), P(axis),   # x, verts, vmask, gt, gtmask
-        tuple((P(axis),) * 4 for _ in operands),  # conv operands
+        jax.tree.map(lambda _: P(axis), operands),  # conv operands
         jax.tree_util.tree_map(lambda _: P(axis), sop_dev),
         P(), P(), P(),                            # idx0, idx1, rot
     )
@@ -126,7 +126,7 @@ def make_sharded_vertex_train_step(
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()))
     def loss_and_grads(params, x_b, v_b, vm_b, gt_b, gm_b, conv_ops, sop, idx0,
                        idx1, rot):
-        conv_ops = tuple((a[0], t[0], s[0], m[0]) for (a, t, s, m) in conv_ops)
+        conv_ops = jax.tree.map(lambda arr: arr[0], conv_ops)
         sop = jax.tree_util.tree_map(lambda a: a[0], sop)
 
         x_rot = rotate_inputs(rot, x_b)

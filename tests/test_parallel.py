@@ -57,7 +57,15 @@ def test_partition_structure(sphere_patch):
     for lvl, adj in zip(part.levels, sphere_patch.adjs):
         assert lvl.num_nodes == adj.shape[0]
         assert lvl.block * D == adj.shape[0]
-        assert lvl.local_adj.shape == (D, lvl.block, adj.shape[1])
+        # deduped neighbours-only K-list: width shrinks vs the raw K-list
+        assert lvl.local_adj.shape[0] == D and lvl.local_adj.shape[1] == lvl.block
+        assert lvl.local_adj.shape[2] <= adj.shape[1]
+        assert lvl.mult.shape == lvl.local_adj.shape
+        assert lvl.self_mult.shape == (D, lvl.block)
+        # degree preserved exactly: mult sums equal raw non-zero counts
+        deg = lvl.mult.sum(-1) + lvl.self_mult
+        raw = np.count_nonzero(adj, axis=-1).reshape(D, lvl.block)
+        np.testing.assert_array_equal(deg, raw)
         # every local adjacency entry points inside the extended index space
         ext = lvl.block + len(lvl.offsets) * lvl.halo_size
         assert lvl.local_adj.max() <= ext
@@ -236,11 +244,11 @@ def test_sharded_grads_match_single_device(sphere_patch):
     operands = partition_operands(part)
     offsets = tuple(lvl.offsets for lvl in part.levels)
     in_specs = (P(), P("graph"), P("graph"),
-                tuple((P("graph"),) * 4 for _ in operands))
+                jax.tree.map(lambda _: P("graph"), operands))
 
     @fpartial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P())
     def sharded_grads(params, x_b, gt_b, level_ops):
-        level_ops = tuple((a[0], t[0], s[0], m[0]) for (a, t, s, m) in level_ops)
+        level_ops = jax.tree.map(lambda arr: arr[0], level_ops)
 
         def loss_fn(params):
             y = sharded_unet_forward_local(
