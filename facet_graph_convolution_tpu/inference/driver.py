@@ -66,9 +66,16 @@ def infer_normals(
     steps = cfg.model.coarsening_steps
     iters = solver_iterations or cfg.eval.solver_iterations
 
+    from facet_graph_convolution_tpu.ops.conv import FacetConvVariant
+    from facet_graph_convolution_tpu.training.trainer import (
+        _apply_model,
+        _graph_arrays,
+    )
+
     @jax.jit
-    def forward(params, x, adjs):
-        y = unet_apply(params, x, adjs, coarsening_steps=steps)
+    def forward(params, x, adjs, adj_ts, mults):
+        y = _apply_model(params, x, adjs, adj_ts, mults, steps=steps,
+                         variant=FacetConvVariant.DEFAULT, alpha=0.1)
         return normalize_tensor(y)
 
     num_faces = mesh.faces.shape[0] if mesh.faces is not None else max(
@@ -77,8 +84,8 @@ def infer_normals(
     predicted = np.zeros((num_faces, 3), np.float64)
     for patch in mesh.patches:
         x = jnp.asarray(patch.inputs)
-        adjs = tuple(jnp.asarray(a) for a in patch.adjs)
-        out = np.asarray(forward(params, x, adjs))
+        adjs, adj_ts, mults = _graph_arrays(patch.adjs)
+        out = np.asarray(forward(params, x, adjs, adj_ts, mults))
         if patch.perm_inv is not None:
             out = out[patch.perm_inv]
         out = out[: patch.num_real]
@@ -111,10 +118,17 @@ def infer_with_vertices(
     steps = cfg.model.coarsening_steps
     iter_nums = cfg.eval.ms_solver_iterations
 
+    from facet_graph_convolution_tpu.ops.conv import FacetConvVariant
+    from facet_graph_convolution_tpu.training.trainer import (
+        _apply_model,
+        _graph_arrays,
+    )
+
     @jax.jit
-    def forward(params, x, adjs):
-        y0, y1, y2 = unet_apply(
-            params, x, adjs, coarsening_steps=steps, multi_scale=True
+    def forward(params, x, adjs, adj_ts, mults):
+        y0, y1, y2 = _apply_model(
+            params, x, adjs, adj_ts, mults, steps=steps, multi_scale=True,
+            variant=FacetConvVariant.DEFAULT, alpha=0.1,
         )
         return normalize_tensor(y0), normalize_tensor(y1), normalize_tensor(y2)
 
@@ -138,8 +152,8 @@ def infer_with_vertices(
 
     for patch in mesh.patches:
         x = jnp.asarray(patch.inputs)
-        adjs = tuple(jnp.asarray(a) for a in patch.adjs)
-        n0, n1, n2 = forward(params, x, adjs)
+        adjs, adj_ts, mults = _graph_arrays(patch.adjs)
+        n0, n1, n2 = forward(params, x, adjs, adj_ts, mults)
         refined, dx = solve(
             jnp.asarray(patch.vertices), n0, n1, n2,
             jnp.asarray(patch.faces), jnp.asarray(patch.v_faces),

@@ -176,6 +176,20 @@ def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
     self-split form ``(mult_nbr, self_mult)``; ``split_self=False`` the
     plain dedup form (required for the rotation-invariant variant, whose
     assignment gathers the self slot's features)."""
+    x = jnp.asarray(patch.inputs)
+    gt = jnp.asarray(patch.gt_normals)
+    if not optimize_graph:
+        return x, tuple(jnp.asarray(a) for a in patch.adjs), gt, None, None
+    adjs, adj_ts, mults = _graph_arrays(
+        patch.adjs, split_self=split_self, nminor=nminor, pallas=pallas
+    )
+    return x, adjs, gt, adj_ts, mults
+
+
+def _graph_arrays(adjs_raw, split_self: bool = True, nminor: bool = True,
+                  pallas: bool = False):
+    """Per-level optimized graph arrays ``(adjs, adj_ts, mults)`` from raw
+    one-indexed K-lists — the forms :func:`_apply_model` dispatches on."""
     from facet_graph_convolution_tpu.graph.convert import (
         dedupe_klist,
         fused_mult_rows,
@@ -183,13 +197,9 @@ def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
         transpose_adjacency,
     )
 
-    x = jnp.asarray(patch.inputs)
-    gt = jnp.asarray(patch.gt_normals)
-    if not optimize_graph:
-        return x, tuple(jnp.asarray(a) for a in patch.adjs), gt, None, None
     adjs, adj_ts, mults = [], [], []
-    for a in patch.adjs:
-        a_u, mult = dedupe_klist(a)
+    for a in adjs_raw:
+        a_u, mult = dedupe_klist(np.asarray(a))
         if split_self:
             a_u, mult_n, self_mult = split_self_klist(a_u, mult)
             if pallas:
@@ -214,7 +224,7 @@ def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
             mults.append(jnp.asarray(mult))
         adjs.append(jnp.asarray(a_u))
         adj_ts.append(jnp.asarray(transpose_adjacency(a_u)))
-    return x, tuple(adjs), gt, tuple(adj_ts), tuple(mults)
+    return tuple(adjs), tuple(adj_ts), tuple(mults)
 
 
 def _apply_model(params, x, adjs, adj_ts, mults, *, steps, variant, alpha,
@@ -562,7 +572,8 @@ def make_vertex_train_step(
     variant = _config_variant(cfg)
     alpha = cfg.model.lrelu_alpha
 
-    def step(state, x, adjs, vertices, gt_vertices, faces, v_faces, gt_normals, key):
+    def step(state, x, adjs, vertices, gt_vertices, faces, v_faces,
+             gt_normals, key, adj_ts=None, mults=None):
         rot_key, s0_key, s1_key = jax.random.split(key, 3)
         rot = random_rotation(rot_key)
         x_rot = rotate_inputs(rot, x)
@@ -572,9 +583,9 @@ def make_vertex_train_step(
         idx1 = jax.random.randint(s1_key, (samples,), 0, gt_vertices.shape[0])
 
         def loss_fn(params):
-            y0, y1, y2 = unet_apply(
-                params, x_rot, adjs, coarsening_steps=steps, multi_scale=True,
-                variant=variant, alpha=alpha,
+            y0, y1, y2 = _apply_model(
+                params, x_rot, adjs, adj_ts, mults, steps=steps,
+                variant=variant, alpha=alpha, multi_scale=True,
             )
             n0 = normalize_tensor(y0)
             n1 = normalize_tensor(y1)
@@ -615,34 +626,26 @@ def train_with_vertices(
     ckpt = CheckpointManager(cfg.train.network_path, cfg.train.net_name)
     state, start_step = ckpt.restore(state)
 
-    arrays = []
-    for p in train_set.patches:
-        arrays.append(
-            (
-                jnp.asarray(p.inputs),
-                tuple(jnp.asarray(a) for a in p.adjs),
-                jnp.asarray(p.vertices),
-                jnp.asarray(p.gt_vertices),
-                jnp.asarray(p.faces),
-                jnp.asarray(p.v_faces),
-                None if p.gt_normals is None else jnp.asarray(p.gt_normals),
-            )
+    split = _config_variant(cfg) != FacetConvVariant.ROTATION_INVARIANT
+
+    def vertex_args(p):
+        adjs, adj_ts, mults = _graph_arrays(p.adjs, split_self=split)
+        return (
+            jnp.asarray(p.inputs),
+            adjs,
+            jnp.asarray(p.vertices),
+            jnp.asarray(p.gt_vertices),
+            jnp.asarray(p.faces),
+            jnp.asarray(p.v_faces),
+            None if p.gt_normals is None else jnp.asarray(p.gt_normals),
+            adj_ts,
+            mults,
         )
 
-    valid_args = []
-    if valid_set is not None:
-        for p in valid_set.patches:
-            valid_args.append(
-                (
-                    jnp.asarray(p.inputs),
-                    tuple(jnp.asarray(a) for a in p.adjs),
-                    jnp.asarray(p.vertices),
-                    jnp.asarray(p.gt_vertices),
-                    jnp.asarray(p.faces),
-                    jnp.asarray(p.v_faces),
-                    None if p.gt_normals is None else jnp.asarray(p.gt_normals),
-                )
-            )
+    arrays = [vertex_args(p) for p in train_set.patches]
+    valid_args = (
+        [vertex_args(p) for p in valid_set.patches] if valid_set is not None else []
+    )
 
     rng = np.random.default_rng(cfg.train.seed)
     loss_hist = []
@@ -651,9 +654,10 @@ def train_with_vertices(
         if it > 0 and it % save_every == 0:
             ckpt.save(start_step + it, state)
         idx = int(rng.integers(len(arrays)))
-        x, adjs, v, gtv, faces, v_faces, gtn = arrays[idx]
+        x, adjs, v, gtv, faces, v_faces, gtn, adj_ts, mults = arrays[idx]
         key, sub = jax.random.split(key)
-        state, loss = step_fn(state, x, adjs, v, gtv, faces, v_faces, gtn, sub)
+        state, loss = step_fn(state, x, adjs, v, gtv, faces, v_faces, gtn,
+                              sub, adj_ts, mults)
         loss_hist.append(float(loss))
         if it % 10 == 0:
             print(f"iter {it}: loss {float(loss):.4f}")
@@ -665,7 +669,9 @@ def train_with_vertices(
             vloss = 0.0
             for vargs in valid_args:
                 key, sub = jax.random.split(key)
-                _, vl = step_fn(state, *vargs, sub)
+                vx, vadjs, vv, vgtv, vf, vvf, vgtn, vts, vm = vargs
+                _, vl = step_fn(state, vx, vadjs, vv, vgtv, vf, vvf, vgtn,
+                                sub, vts, vm)
                 vloss += float(vl)
             print(f"iter {it}: validation loss {vloss / len(valid_args):.4f}")
 
