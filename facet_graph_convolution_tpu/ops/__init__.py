@@ -28,9 +28,16 @@ from facet_graph_convolution_tpu.ops.conv import (  # noqa: F401
     assignment_weights,
     rotation_to_axis,
 )
+from facet_graph_convolution_tpu.ops.conv import facet_conv_nminor  # noqa: F401
+from facet_graph_convolution_tpu.ops.pallas_conv import (  # noqa: F401
+    facet_conv_pallas,
+    gather_slot_major,
+)
 from facet_graph_convolution_tpu.ops.pooling import (  # noqa: F401
     tree_pool,
+    tree_pool_nminor,
     tree_unpool,
+    tree_unpool_nminor,
 )
 from facet_graph_convolution_tpu.ops.normalization import (  # noqa: F401
     normalize_tensor,
