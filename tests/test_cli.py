@@ -100,6 +100,37 @@ def test_preprocess_train_infer_metrics(data_tree):
     infer_directory(cfg.data.test_data_path, cfg, with_vertices=False)
     assert os.path.getmtime(result) == mtime
 
+    # 5. serving: batched multi-mesh InferenceServer against the same
+    # checkpoint matches the per-patch driver's output topology
+    from facet_graph_convolution_tpu.inference.serving import InferenceServer
+
+    server = InferenceServer(cfg, bucket_align=64)
+    v_n, f_n, _ = load_obj(
+        os.path.join(cfg.data.test_data_path, "sphere_n1.obj")
+    )
+    (refined, normals), = server.denoise_batch([(v_n, f_n)])
+    assert refined.shape == v_n.shape
+    assert normals.shape == (f_n.shape[0], 3)
+    np.testing.assert_allclose(np.linalg.norm(normals, axis=1), 1.0, atol=1e-4)
+
+    # 6. AOT export from the trained checkpoint roundtrips
+    from facet_graph_convolution_tpu.data.dataset import bucket_size, pad_patch_to
+    from facet_graph_convolution_tpu.inference.serving import (
+        export_forward,
+        load_forward,
+    )
+
+    patch = pad_patch_to(ds.patches[0], bucket_size(ds.patches[0].num_nodes, 64))
+    widths = [a.shape[1] for a in patch.adjs]
+    data = export_forward(cfg, state.params, patch.num_nodes, widths)
+    fn = load_forward(data)
+    import jax.numpy as jnp
+
+    y = np.asarray(fn(jnp.asarray(patch.inputs)[None],
+                      *[jnp.asarray(a)[None] for a in patch.adjs]))[0]
+    assert y.shape == (patch.num_nodes, 3)
+    assert np.isfinite(y).all()
+
 
 def test_cli_entrypoints_run_as_modules(data_tree):
     """The `python -m ...cli.*` entry points parse args and run (subprocess
