@@ -29,7 +29,9 @@ from facet_graph_convolution_tpu.parallel.tensor_parallel import (  # noqa: F401
 from facet_graph_convolution_tpu.parallel.halo import (  # noqa: F401
     GraphPartition,
     build_partition,
+    partition_operands_nminor,
     sharded_unet_apply,
+    sharded_unet_forward_local_nminor,
     make_sharded_train_step,
     train_normals_sharded,
 )

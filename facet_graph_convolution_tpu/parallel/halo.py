@@ -35,7 +35,12 @@ from facet_graph_convolution_tpu.config import Config
 from facet_graph_convolution_tpu.models.losses import _fake_node_mask
 from facet_graph_convolution_tpu.ops.conv import FacetConvVariant
 from facet_graph_convolution_tpu.ops.normalization import lrelu
-from facet_graph_convolution_tpu.ops.pooling import tree_pool, tree_unpool
+from facet_graph_convolution_tpu.ops.pooling import (
+    tree_pool,
+    tree_pool_nminor,
+    tree_unpool,
+    tree_unpool_nminor,
+)
 from facet_graph_convolution_tpu.training.trainer import TrainState
 
 
@@ -218,6 +223,33 @@ def partition_operands(part: GraphPartition):
     )
 
 
+def partition_operands_nminor(part: GraphPartition):
+    """Per-level device operands for the node-minor sharded conv:
+    (local_adj, local_adj_t, send_idx, recv_mask, mult_rows) tuples, where
+    ``mult_rows`` [D, K+1, n] is the fused per-slot multiplicity × 1/degree
+    (slot 0 = self; graph.convert.fused_mult_rows) per shard."""
+    from facet_graph_convolution_tpu.graph.convert import fused_mult_rows
+
+    ops = []
+    for lvl in part.levels:
+        rows = np.stack(
+            [
+                fused_mult_rows(lvl.mult[s], lvl.self_mult[s])
+                for s in range(lvl.mult.shape[0])
+            ]
+        )
+        ops.append(
+            (
+                jnp.asarray(lvl.local_adj),
+                jnp.asarray(lvl.local_adj_t),
+                jnp.asarray(lvl.send_idx),
+                jnp.asarray(lvl.recv_mask),
+                jnp.asarray(rows),
+            )
+        )
+    return tuple(ops)
+
+
 # ---------------------------------------------------------------------------
 # Device-side sharded ops (called inside shard_map; x blocks are [n, C])
 # ---------------------------------------------------------------------------
@@ -288,6 +320,132 @@ def _sharded_conv(params, x, adj, adj_t, send_idx, recv_mask, mult, self_mult,
     y = jnp.einsum("nmc,moc->no", z, params["w"],
                    preferred_element_type=jnp.float32)
     return jnp.where((deg > 0)[:, None], y + params["b"], y)
+
+
+def _halo_extend_nminor(x_t, send_idx, recv_mask, offsets, axis):
+    """Node-minor halo exchange: ``x_t`` [C, n] → [C, n + num_off·H].
+
+    Same semantics as :func:`_halo_extend` with the node axis minormost —
+    the exchanged blocks are [C, H] lane slices, so the ppermute payload is
+    identical and no layout change is needed around the collective."""
+    num_off, halo = send_idx.shape
+    parts = [x_t]
+    for j, d in enumerate(offsets):
+        cols = jnp.take(x_t, send_idx[j], axis=1)        # [C, H]
+        size = jax.lax.axis_size(axis)
+        perm = [(src, (src - d) % size) for src in range(size)]
+        received = jax.lax.ppermute(cols, axis, perm)
+        received = received * recv_mask[j][None, :]
+        parts.append(received)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _sharded_conv_nminor(params, x_t, adj, adj_t, send_idx, recv_mask,
+                         mult_rows, offsets, axis,
+                         variant=FacetConvVariant.DEFAULT, compute_dtype=None):
+    """Node-minor sharded facet conv: ``x_t`` [C, n] → [out, n].
+
+    The sharded counterpart of
+    :func:`facet_graph_convolution_tpu.ops.conv.facet_conv_nminor` — same
+    math as :func:`_sharded_conv` with activations kept [C, n] so XLA's VPU
+    reduce fusions run without per-intermediate layout copies (measured
+    ~7 ms/step on the single-chip path, BASELINE.md); row-major is confined
+    to the gather boundary. ``mult_rows`` [K+1, n] is the fused
+    multiplicity × 1/degree table (slot 0 = self, 0 on padding)."""
+    from facet_graph_convolution_tpu.ops.gather import gather_neighbors
+
+    u, c, w, b = params["u"], params["c"], params["w"], params["b"]
+    dtype = compute_dtype or x_t.dtype
+    in_ch, n = x_t.shape
+    m, out_ch, _ = w.shape
+
+    if variant == FacetConvVariant.DEFAULT:
+        proj = params["v"]
+    elif variant == FacetConvVariant.TRANSLATION_INVARIANT:
+        proj = -u
+    else:
+        raise NotImplementedError("rotation-invariant sharded conv")
+
+    vx_t = proj @ x_t                                    # [M, n]
+    ux_t = u @ x_t                                       # [M, n]
+    cat_t = jnp.concatenate([x_t, vx_t], axis=0).astype(dtype)   # [C+M, n]
+    cat_ext_t = _halo_extend_nminor(cat_t, send_idx, recv_mask, offsets, axis)
+    cat_ext = cat_ext_t.T                                # one boundary transpose
+    cat_nbr = gather_neighbors(cat_ext, adj, adj_t)      # [n, K', C+M]
+    # self slot: the local row, prepended without a gather
+    cat_nbr = jnp.concatenate([cat_ext[:n, None, :], cat_nbr], axis=1)
+    nbr_t = jnp.transpose(cat_nbr, (2, 1, 0))            # [C+M, K'+1, n]
+    x_nbr_t = nbr_t[:in_ch]
+    vx_nbr_t = nbr_t[in_ch:]
+
+    logits_t = ux_t[:, None, :].astype(dtype) + vx_nbr_t + c[:, None, None].astype(dtype)
+    q_t = jax.nn.softmax(logits_t.astype(jnp.float32), axis=0)   # over M
+    q_t = (q_t * mult_rows[None, :, :]).astype(dtype)
+
+    z_t = jnp.einsum("mkn,ckn->mcn", q_t, x_nbr_t,
+                     preferred_element_type=jnp.float32)
+    z_t = z_t.reshape(m * in_ch, n).astype(dtype)
+    wf = jnp.transpose(w, (1, 0, 2)).reshape(out_ch, m * in_ch)
+    y_t = jnp.einsum("oz,zn->on", wf.astype(dtype), z_t,
+                     preferred_element_type=jnp.float32).astype(jnp.float32)
+    gate = (jnp.sum(mult_rows, axis=0) > 0).astype(y_t.dtype)
+    return y_t + b[:, None] * gate[None, :]
+
+
+def sharded_unet_forward_local_nminor(
+    params, x, level_operands, offsets_per_level, axis,
+    coarsening_steps=2, alpha=0.1, multi_scale=False, compute_dtype=None,
+):
+    """Node-minor U-Net forward on one shard (inside shard_map): mirrors
+    ``unet_apply_nminor`` with halo-extended convs and shard-local node-minor
+    tree pool/unpool. ``x`` [n, C] in, outputs [n, out] — the [C, n]
+    orientation is internal, transposed only at the public boundary."""
+    ops0, ops1, ops2 = level_operands
+    o0, o1, o2 = offsets_per_level
+
+    def conv(p, h_t, ops, offs):
+        return _sharded_conv_nminor(p, h_t, *ops, offs, axis,
+                                    compute_dtype=compute_dtype)
+
+    def lin(name, h_t):
+        p = params[name]
+        return p["w"].T @ h_t + p["b"][:, None]
+
+    x_t = x.T                                            # [C, n]
+    h1 = lrelu(conv(params["conv1"], x_t, ops0, o0), alpha)
+    p1 = tree_pool_nminor(h1, steps=coarsening_steps, mode="max")
+    h2 = lrelu(conv(params["conv2"], p1, ops1, o1), alpha)
+    p2 = tree_pool_nminor(h2, steps=coarsening_steps, mode="max")
+    h3 = lrelu(conv(params["conv3"], p2, ops2, o2), alpha)
+    d3 = lrelu(conv(params["dconv3"], h3, ops2, o2), alpha)
+
+    y_coarse = None
+    if multi_scale:
+        hc = lrelu(lin("fc_coarse", d3), alpha)
+        y_coarse = lin("out2", hc).T
+
+    u2 = tree_unpool_nminor(d3, steps=coarsening_steps)
+    u2 = conv(params["upconv2"], u2, ops1, o1)
+    d2 = lrelu(
+        conv(params["dconv2"], jnp.concatenate([u2, h2], axis=0), ops1, o1),
+        alpha,
+    )
+    y_mid = None
+    if multi_scale:
+        hm = lrelu(lin("fc_mid", d2), alpha)
+        y_mid = lin("out1", hm).T
+
+    u1 = tree_unpool_nminor(d2, steps=coarsening_steps)
+    u1 = conv(params["upconv1"], u1, ops0, o0)
+    d1 = lrelu(
+        conv(params["dconv1"], jnp.concatenate([u1, h1], axis=0), ops0, o0),
+        alpha,
+    )
+    h = lrelu(lin("fc1", d1), alpha)
+    y_fine = lin("out0", h).T
+    if multi_scale:
+        return y_fine, y_mid, y_coarse
+    return y_fine
 
 
 def _sharded_normalize_tensor(x, axis, epsilon=1e-5):
@@ -376,12 +534,19 @@ def sharded_unet_apply(
     coarsening_steps: int = 2,
     normalize: bool = True,
     multi_scale: bool = False,
+    layout: str = "nminor",
+    compute_dtype=None,
 ):
     """Jittable full forward over the device mesh; returns [N, 3] assembled
     predictions identical (to float tolerance) to the single-device
     ``unet_apply`` + ``normalize_tensor`` (a 3-tuple of per-level outputs
-    with ``multi_scale=True``)."""
-    operands = partition_operands(part)
+    with ``multi_scale=True``).
+
+    ``layout="nminor"`` (default, matching the single-chip fast path) keeps
+    activations node-minor through the net; ``"rowmajor"`` keeps the [n, C]
+    formulation (required for the rotation-invariant variant)."""
+    nminor = layout == "nminor"
+    operands = (partition_operands_nminor if nminor else partition_operands)(part)
     offsets = tuple(lvl.offsets for lvl in part.levels)
 
     in_specs = (
@@ -394,9 +559,11 @@ def sharded_unet_apply(
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     def run(params, x_block, level_ops):
         level_ops = jax.tree.map(lambda arr: arr[0], level_ops)
-        y = sharded_unet_forward_local(
+        fwd = sharded_unet_forward_local_nminor if nminor else sharded_unet_forward_local
+        kw = {"compute_dtype": compute_dtype} if nminor else {}
+        y = fwd(
             params, x_block, level_ops, offsets, axis,
-            coarsening_steps=coarsening_steps, multi_scale=multi_scale,
+            coarsening_steps=coarsening_steps, multi_scale=multi_scale, **kw,
         )
         if normalize:
             if multi_scale:
@@ -414,13 +581,20 @@ def make_sharded_train_step(
     part: GraphPartition,
     mesh: Mesh,
     axis: str = "graph",
+    layout: str = "nminor",
 ):
     """Full training step over an edge-partitioned graph: each shard computes
     the loss on its owned nodes; gradients are psum-reduced by shard_map's
-    partitioned autodiff."""
+    partitioned autodiff. ``layout`` as in :func:`sharded_unet_apply`;
+    ``cfg.model.compute_dtype`` selects bf16 mixed precision on the
+    node-minor path (matching the single-chip trainer)."""
     steps = cfg.model.coarsening_steps
-    operands = partition_operands(part)
+    nminor = layout == "nminor"
+    operands = (partition_operands_nminor if nminor else partition_operands)(part)
     offsets = tuple(lvl.offsets for lvl in part.levels)
+    compute_dtype = (
+        jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
+    )
 
     in_specs = (
         P(),
@@ -438,10 +612,16 @@ def make_sharded_train_step(
         level_ops = jax.tree.map(lambda arr: arr[0], level_ops)
 
         def loss_fn(params):
-            y = sharded_unet_forward_local(
-                params, x_block, level_ops, offsets, axis,
-                coarsening_steps=steps,
-            )
+            if nminor:
+                y = sharded_unet_forward_local_nminor(
+                    params, x_block, level_ops, offsets, axis,
+                    coarsening_steps=steps, compute_dtype=compute_dtype,
+                )
+            else:
+                y = sharded_unet_forward_local(
+                    params, x_block, level_ops, offsets, axis,
+                    coarsening_steps=steps,
+                )
             y = _sharded_normalize_tensor(y, axis)
             return _sharded_face_normals_loss(y, gt_block, mask_block, axis)
 

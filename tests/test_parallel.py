@@ -121,6 +121,45 @@ def test_sharded_train_step_matches_loss_and_learns(sphere_patch):
     assert losses[-1] < losses[0]
 
 
+def test_sharded_nminor_matches_rowmajor(sphere_patch):
+    """The node-minor sharded forward (default layout) equals the row-major
+    sharded formulation and the single-device node-minor fast path, including
+    the multiScale heads."""
+    from facet_graph_convolution_tpu.models.unet import unet_apply_nminor
+    from facet_graph_convolution_tpu.training.trainer import _graph_arrays
+
+    mesh = make_mesh((1, D), ("data", "graph"))
+    part = build_partition(sphere_patch.adjs, D)
+    params = init_unet(jax.random.PRNGKey(0), in_channels=6,
+                       channels=(8, 16, 32), num_filters=4, fc_channels=32,
+                       multi_scale=True)
+    x = jnp.asarray(sphere_patch.inputs)
+
+    with mesh:
+        out_nm = jax.jit(
+            lambda p, xx: sharded_unet_apply(p, xx, part, mesh,
+                                             multi_scale=True, layout="nminor")
+        )(params, x)
+        out_rm = jax.jit(
+            lambda p, xx: sharded_unet_apply(p, xx, part, mesh,
+                                             multi_scale=True, layout="rowmajor")
+        )(params, x)
+    for a, b in zip(out_nm, out_rm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    # single-device node-minor oracle (same deduped/self-split semantics)
+    adjs, adj_ts, mults = _graph_arrays(sphere_patch.adjs)
+    rows = tuple(m["rows"] for m in mults)
+    y = jax.jit(
+        lambda p, xx: unet_apply_nminor(p, xx, adjs, adj_ts, rows,
+                                        multi_scale=True)
+    )(params, x)
+    for a, b in zip(out_nm, y):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(normalize_tensor(b)), atol=5e-5
+        )
+
+
 def test_dp_step_runs(sphere_patch):
     import optax
 
