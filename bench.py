@@ -45,7 +45,7 @@ def count_edges(patch) -> int:
     return total
 
 
-def measure(steps=20, repeats=3, subdiv=5, bf16=False):
+def measure(steps=20, repeats=3, subdiv=5, bf16=False, lane=True):
     """Sustained training throughput: `steps` full train steps run inside one
     jitted lax.scan (keys presplit on host), timed over `repeats` dispatches.
     This measures device throughput, not per-dispatch host/tunnel latency —
@@ -76,7 +76,7 @@ def measure(steps=20, repeats=3, subdiv=5, bf16=False):
 
     from facet_graph_convolution_tpu.training.trainer import _patch_arrays
 
-    x, adjs, gt, adj_ts, mults = _patch_arrays(patch)
+    x, adjs, gt, adj_ts, mults = _patch_arrays(patch, lane=lane)
 
     @jax.jit
     def run_steps(state, keys, x, adjs, gt, adj_ts, mults):
@@ -121,6 +121,8 @@ def main():
     parser.add_argument("--subdiv", type=int, default=5)
     parser.add_argument("--f32", action="store_true",
                         help="disable the default bf16 compute path")
+    parser.add_argument("--no_lane", action="store_true",
+                        help="disable the default lane-axis gather (A/B)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -131,7 +133,8 @@ def main():
     # bf16 interiors with f32 accumulation is the production TPU config;
     # the CPU baseline stays f32 (bf16 is emulated and slow on CPU).
     bf16 = not args.f32 and not args.cpu
-    result = measure(steps=args.steps, subdiv=args.subdiv, bf16=bf16)
+    result = measure(steps=args.steps, subdiv=args.subdiv, bf16=bf16,
+                     lane=not args.no_lane)
 
     if args.cpu:
         with open(BASELINE_FILE, "w") as fh:

@@ -206,6 +206,26 @@ def transpose_adjacency(adj: np.ndarray, num_targets: Optional[int] = None) -> n
     return adj_t
 
 
+def lane_tables(
+    adj_nbr: np.ndarray, num_sources: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Index tables for the lane-axis (node-minor) gather.
+
+    For the one-indexed neighbours-only K-list ``adj_nbr`` [N, K], returns
+    ``(adjT [K, N], adjT_t [num_sources, K_t])``: ``adjT`` is the transposed
+    K-list consumed by
+    :func:`facet_graph_convolution_tpu.ops.gather.gather_neighbors_lane`,
+    and ``adjT_t`` its transpose slot map with one-indexed FLAT slots over
+    ``k·N + n`` (0 = pad) for the scatter-free backward. ``num_sources``
+    defaults to N; pass the halo-extended row count when ``adj_nbr`` indexes
+    an extended feature array."""
+    adjT = np.ascontiguousarray(adj_nbr.T.astype(np.int32))
+    # transpose_adjacency flattens its [rows, cols] input row-major, so on
+    # adjT ([K, N]) the emitted flat slots are exactly k·N + n
+    adjT_t = transpose_adjacency(adjT, num_targets=num_sources or adj_nbr.shape[0])
+    return adjT, adjT_t
+
+
 def invert_permutation(perm: np.ndarray) -> np.ndarray:
     """Inverse permutation, sized to cover max(len, max+1) like the reference
     ``inv_perm`` (utils.py:1830-1835)."""

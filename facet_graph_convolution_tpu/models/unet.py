@@ -258,6 +258,7 @@ def unet_apply_nminor(
     alpha: float = 0.1,
     variant: FacetConvVariant = FacetConvVariant.DEFAULT,
     compute_dtype=None,
+    lane: bool = False,
 ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Node-minor forward pass — the TPU fast path.
 
@@ -268,6 +269,9 @@ def unet_apply_nminor(
 
     ``adjs`` must be self-split neighbour K-lists and ``mult_rows`` the
     per-level fused [K+1, N] multipliers (trainer `_patch_arrays(nminor=…)`).
+    With ``lane=True`` they are instead the TRANSPOSED [K, N] K-lists and
+    lane slot maps (graph.convert.lane_tables) and the convs gather along
+    the lane axis — zero gather-boundary transposes.
     Input ``x`` [N, C] and outputs [N, out] keep the public orientation;
     the transposes at the boundary are node-count × small-channel arrays.
     """
@@ -277,7 +281,7 @@ def unet_apply_nminor(
         adj_t, rows = tmap[id(a)]
         return facet_conv_nminor(
             params[name], h_t, a, adj_t, rows,
-            variant=variant, compute_dtype=compute_dtype,
+            variant=variant, compute_dtype=compute_dtype, lane=lane,
         )
 
     def lin(name, h_t):

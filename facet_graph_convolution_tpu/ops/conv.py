@@ -31,7 +31,11 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from facet_graph_convolution_tpu.ops.gather import gather_neighbors, neighbor_counts
+from facet_graph_convolution_tpu.ops.gather import (
+    gather_neighbors,
+    gather_neighbors_lane,
+    neighbor_counts,
+)
 
 
 class FacetConvVariant(str, enum.Enum):
@@ -309,6 +313,7 @@ def facet_conv_nminor(
     mult_rows: jnp.ndarray,
     variant: FacetConvVariant = FacetConvVariant.DEFAULT,
     compute_dtype=None,
+    lane: bool = False,
 ) -> jnp.ndarray:
     """Node-minor (transposed) facet conv: ``x_t`` [C, N] → [out, N].
 
@@ -318,6 +323,12 @@ def facet_conv_nminor(
     ~7 ms/step, a third of the training step). Keeping activations [C, N]
     end-to-end confines row-major to the gather itself: one small transpose
     of ``cat`` before the gather and one big transpose of its output.
+
+    With ``lane=True`` even those transposes go away: the gather runs along
+    the lane (node) axis via :func:`gather_neighbors_lane`, producing the
+    [C, K, N] neighbour tensor directly. ``adj`` is then the TRANSPOSED
+    K-list [K, N] and ``adj_t`` the lane slot map, both from
+    :func:`facet_graph_convolution_tpu.graph.convert.lane_tables`.
 
     ``mult_rows`` [K+1, N] is the static fused per-slot multiplier from
     :func:`facet_graph_convolution_tpu.graph.convert.fused_mult_rows`
@@ -339,10 +350,14 @@ def facet_conv_nminor(
     vx_t = proj @ x_t                                          # [M, N]
     ux_t = u @ x_t                                             # [M, N]
     cat_t = jnp.concatenate([x_t, vx_t], axis=0).astype(dtype)  # [C+M, N]
-    cat = cat_t.T                                              # small transpose
-    cat_nbr = gather_neighbors(cat, adj, adj_t)                # [N, K, C+M]
-    cat_nbr = jnp.concatenate([cat[:, None, :], cat_nbr], axis=1)
-    nbr_t = jnp.transpose(cat_nbr, (2, 1, 0))                  # [C+M, K+1, N]
+    if lane:
+        nbr_g = gather_neighbors_lane(cat_t, adj, adj_t)       # [C+M, K, N]
+        nbr_t = jnp.concatenate([cat_t[:, None, :], nbr_g], axis=1)
+    else:
+        cat = cat_t.T                                          # small transpose
+        cat_nbr = gather_neighbors(cat, adj, adj_t)            # [N, K, C+M]
+        cat_nbr = jnp.concatenate([cat[:, None, :], cat_nbr], axis=1)
+        nbr_t = jnp.transpose(cat_nbr, (2, 1, 0))              # [C+M, K+1, N]
     x_nbr_t = nbr_t[:in_ch]
     vx_nbr_t = nbr_t[in_ch:]
 

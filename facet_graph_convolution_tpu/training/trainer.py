@@ -164,7 +164,7 @@ def _bucketed(patch: FacetPatch, align: int) -> FacetPatch:
 
 def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
                   split_self: bool = True, nminor: bool = True,
-                  pallas: bool = False):
+                  pallas: bool = False, lane: bool = True):
     """Compile the patch graph for the train step: dedupe duplicate K-list
     slots into multiplicity weights, split the self slot out (its features
     need no gather), and build transpose slot maps for the scatter-free
@@ -181,15 +181,20 @@ def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
     if not optimize_graph:
         return x, tuple(jnp.asarray(a) for a in patch.adjs), gt, None, None
     adjs, adj_ts, mults = _graph_arrays(
-        patch.adjs, split_self=split_self, nminor=nminor, pallas=pallas
+        patch.adjs, split_self=split_self, nminor=nminor, pallas=pallas,
+        lane=lane,
     )
     return x, adjs, gt, adj_ts, mults
 
 
 def _graph_arrays(adjs_raw, split_self: bool = True, nminor: bool = True,
-                  pallas: bool = False):
+                  pallas: bool = False, lane: bool = True):
     """Per-level optimized graph arrays ``(adjs, adj_ts, mults)`` from raw
-    one-indexed K-lists — the forms :func:`_apply_model` dispatches on."""
+    one-indexed K-lists — the forms :func:`_apply_model` dispatches on.
+    ``lane`` (node-minor only, the default) emits transposed [K, N] K-lists
+    + lane slot maps so the convs gather along the lane axis with zero
+    gather-boundary transposes (measured 45.1M → 50.2M edges/s on the
+    training step, BASELINE.md)."""
     from facet_graph_convolution_tpu.graph.convert import (
         dedupe_klist,
         fused_mult_rows,
@@ -215,9 +220,18 @@ def _graph_arrays(adjs_raw, split_self: bool = True, nminor: bool = True,
                 mults.append({"pallas_rows": jnp.asarray(rows)})
                 continue
             if nminor:
-                mults.append(
-                    {"rows": jnp.asarray(fused_mult_rows(mult_n, self_mult))}
-                )
+                rows = jnp.asarray(fused_mult_rows(mult_n, self_mult))
+                if lane:
+                    from facet_graph_convolution_tpu.graph.convert import (
+                        lane_tables,
+                    )
+
+                    adjT, adjT_t = lane_tables(a_u)
+                    adjs.append(jnp.asarray(adjT))
+                    adj_ts.append(jnp.asarray(adjT_t))
+                    mults.append({"rows_lane": rows})
+                    continue
+                mults.append({"rows": rows})
             else:
                 mults.append((jnp.asarray(mult_n), jnp.asarray(self_mult)))
         else:
@@ -239,6 +253,13 @@ def _apply_model(params, x, adjs, adj_ts, mults, *, steps, variant, alpha,
                 [mm["pallas_rows"] for mm in mults],
                 coarsening_steps=steps, multi_scale=multi_scale,
                 variant=variant, alpha=alpha, compute_dtype=compute_dtype,
+            )
+        if "rows_lane" in mults[0]:
+            return unet_apply_nminor(
+                params, x, adjs, adj_ts, [mm["rows_lane"] for mm in mults],
+                coarsening_steps=steps, multi_scale=multi_scale,
+                variant=variant, alpha=alpha, compute_dtype=compute_dtype,
+                lane=True,
             )
         return unet_apply_nminor(
             params, x, adjs, adj_ts, [mm["rows"] for mm in mults],

@@ -148,7 +148,7 @@ def test_sharded_nminor_matches_rowmajor(sphere_patch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
     # single-device node-minor oracle (same deduped/self-split semantics)
-    adjs, adj_ts, mults = _graph_arrays(sphere_patch.adjs)
+    adjs, adj_ts, mults = _graph_arrays(sphere_patch.adjs, lane=False)
     rows = tuple(m["rows"] for m in mults)
     y = jax.jit(
         lambda p, xx: unet_apply_nminor(p, xx, adjs, adj_ts, rows,

@@ -224,12 +224,52 @@ def test_patch_arrays_self_split_step_parity(rng):
 
     losses = []
     states = []
-    for kw in (dict(split_self=False), dict(nminor=False), dict()):
+    for kw in (dict(split_self=False), dict(nminor=False), dict(),
+               dict(lane=True)):
         x, adjs, gt, adj_ts, mults = _patch_arrays(patch, **kw)
         st, loss = step(state, x, adjs, gt, key, adj_ts, mults)
         losses.append(float(loss))
         states.append(st)
     assert abs(losses[0] - losses[1]) < 1e-4
     assert abs(losses[0] - losses[2]) < 1e-4    # node-minor fast path
+    assert abs(losses[0] - losses[3]) < 1e-4    # lane-axis gather form
     for a, b in zip(jax.tree.leaves(states[0].params), jax.tree.leaves(states[1].params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    for a, b in zip(jax.tree.leaves(states[2].params), jax.tree.leaves(states[3].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_lane_gather_matches_row_gather(rng):
+    """gather_neighbors_lane([C,N] node-minor) must equal the row gather's
+    transpose in forward AND backward (its cotangent is a lane gather too)."""
+    from facet_graph_convolution_tpu.graph.convert import lane_tables
+    from facet_graph_convolution_tpu.ops.gather import gather_neighbors_lane
+
+    adj = random_klist(rng)
+    n, k = adj.shape
+    adjT, adjT_t = lane_tables(adj)
+    assert adjT.shape == (k, n)
+    x = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(5, k, n)).astype(np.float32))
+
+    y_row = gather_neighbors(x, jnp.asarray(adj))            # [N, K, C]
+    y_lane = gather_neighbors_lane(
+        x.T, jnp.asarray(adjT), jnp.asarray(adjT_t)          # [C, K, N]
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_lane), np.asarray(jnp.transpose(y_row, (2, 1, 0)))
+    )
+
+    def f_row(x):
+        return jnp.sum(gather_neighbors(x, jnp.asarray(adj))
+                       * jnp.transpose(cot, (2, 1, 0)))
+
+    def f_lane(x):
+        return jnp.sum(
+            gather_neighbors_lane(x.T, jnp.asarray(adjT), jnp.asarray(adjT_t))
+            * cot
+        )
+
+    g_row = jax.jit(jax.grad(f_row))(x)
+    g_lane = jax.jit(jax.grad(f_lane))(x)
+    np.testing.assert_allclose(np.asarray(g_lane), np.asarray(g_row), atol=1e-5)
