@@ -113,6 +113,74 @@ def measure(steps=20, repeats=3, subdiv=5, bf16=False, lane=True):
     }
 
 
+def measure_sharded(steps=20, repeats=3, subdiv=5, num_shards=None):
+    """Sharded (halo-exchange) training-step throughput over all visible
+    devices — the scaling-efficiency harness (BASELINE.md ≥80% target).
+
+    On the single real TPU chip this measures D=1 sharding overhead vs the
+    plain step; on a CPU rig with virtual devices (or a pod) it measures
+    D=N. Host-aware partitioning engages automatically under multi-process
+    execution (see parallel/launch.py for the pod one-liner)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fgc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from facet_graph_convolution_tpu.config import default_config
+    from facet_graph_convolution_tpu.data.dataset import bucket_size, pad_patch_to
+    from facet_graph_convolution_tpu.parallel.halo import (
+        build_partition,
+        make_sharded_train_step,
+        partition_operands_nminor,
+    )
+    from facet_graph_convolution_tpu.parallel.mesh import make_mesh
+    from facet_graph_convolution_tpu.training.trainer import create_train_state
+
+    n_dev = num_shards or len(jax.devices())
+    mesh = make_mesh((1, n_dev), ("data", "graph"))
+
+    patch = build_bench_patch(subdiv=subdiv)
+    group = 16 * n_dev
+    patch = pad_patch_to(patch, bucket_size(patch.num_nodes, max(1024, group)))
+    edges = count_edges(patch)
+
+    cfg = default_config().replace(model={"compute_dtype": "bfloat16"})
+    part = build_partition(patch.adjs, n_dev)
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_sharded_train_step(tx, cfg, part, mesh)
+
+    x = jnp.asarray(patch.inputs)
+    gt = jnp.asarray(patch.gt_normals)
+    mask = np.zeros(patch.num_nodes, np.float32)
+    mask[np.random.default_rng(0).integers(
+        0, patch.num_nodes, size=cfg.train.loss_samples)] = 1.0
+    mask = jnp.asarray(mask)
+
+    with mesh:
+        state, loss = step_fn(state, x, gt, mask)        # compile + warmup
+        _ = float(loss)
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _s in range(steps):
+                state, loss = step_fn(state, x, gt, mask)
+            _ = float(loss)
+            times.append((time.perf_counter() - t0) / steps)
+    times.sort()
+    median = times[len(times) // 2]
+    return {
+        "edges_per_step": edges,
+        "nodes": patch.num_nodes,
+        "median_step_s": median,
+        "edges_per_s": edges / median,
+        "devices": n_dev,
+        "platform": jax.default_backend(),
+        "final_loss": float(loss),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true",
@@ -123,12 +191,34 @@ def main():
                         help="disable the default bf16 compute path")
     parser.add_argument("--no_lane", action="store_true",
                         help="disable the default lane-axis gather (A/B)")
+    parser.add_argument("--sharded", action="store_true",
+                        help="benchmark the halo-exchange sharded step over "
+                             "all visible devices")
+    parser.add_argument("--shards", type=int, default=None,
+                        help="shard count for --sharded (default: all devices)")
     args = parser.parse_args()
 
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.sharded:
+        result = measure_sharded(steps=args.steps, subdiv=args.subdiv,
+                                 num_shards=args.shards)
+        baseline = None
+        if os.path.isfile(BASELINE_FILE):
+            with open(BASELINE_FILE) as fh:
+                baseline = json.load(fh)
+        vs = result["edges_per_s"] / baseline["edges_per_s"] if baseline else -1.0
+        print(json.dumps({
+            "metric": "sharded_train_step_edges_per_s",
+            "value": round(result["edges_per_s"], 1),
+            "unit": "edges/s",
+            "vs_baseline": round(vs, 3),
+            "devices": result["devices"],
+        }))
+        return
 
     # bf16 interiors with f32 accumulation is the production TPU config;
     # the CPU baseline stays f32 (bf16 is emulated and slow on CPU).

@@ -22,6 +22,7 @@ pooling stays shard-local.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -61,6 +62,18 @@ class LevelPartition:
       content the receiver never reads);
     - ``recv_mask`` [D, num_offsets, H]: 1 where the received slot is a real
       requested row.
+
+    DCN-aware split (``devices_per_host`` set at build time): the per-offset
+    ring tables then carry only *intra-host* halo traffic (ICI hops on a
+    process-contiguous mesh — parallel/distributed.make_multihost_mesh), and
+    all *cross-host* rows are batched into per-(src, dst) pair tables
+    exchanged in ONE ``all_to_all`` per layer — one DCN transfer instead of
+    one per ring offset:
+
+    - ``cross_send`` [D, D, Hx]: rows shard s sends to shard t (local
+      indices on s, packed in t's expected order; 0-filled when inactive);
+    - ``cross_mask`` [D, D, Hx]: on the receiver — 1 where the slot received
+      from source shard o is a real requested row.
     """
 
     num_nodes: int
@@ -73,6 +86,9 @@ class LevelPartition:
     halo_size: int                   # H per offset (uniform, padded)
     mult: np.ndarray                 # [D, n, K'] slot multiplicities
     self_mult: np.ndarray            # [D, n] self-slot multiplicity
+    cross_send: Optional[np.ndarray] = None   # [D, D, Hx]
+    cross_mask: Optional[np.ndarray] = None   # [D, D, Hx]
+    cross_halo: int = 0
 
 
 @dataclasses.dataclass
@@ -85,26 +101,42 @@ class GraphPartition:
         return self.levels[0]
 
 
-def _partition_level(adj: np.ndarray, num_shards: int) -> LevelPartition:
+def _partition_level(
+    adj: np.ndarray, num_shards: int, devices_per_host: Optional[int] = None
+) -> LevelPartition:
     n_total, k = adj.shape
     assert n_total % num_shards == 0, (n_total, num_shards)
     block = n_total // num_shards
     owner = lambda g: g // block
+    # host-aware mode: shard s lives on host s // dph (process-contiguous
+    # mesh ordering, parallel/distributed.make_multihost_mesh); remote rows
+    # owned by a different host are exchanged via the batched all_to_all
+    # tables instead of the per-offset ICI rings
+    dph = devices_per_host if devices_per_host and devices_per_host < num_shards else None
+    host_of = (lambda sh: sh // dph) if dph else (lambda sh: 0)
 
     neigh = adj.astype(np.int64) - 1                     # -1 = pad
-    # per shard: remote global ids needed, grouped by owner offset
+    # per shard: remote global ids needed — intra-host grouped by owner
+    # offset, cross-host grouped by source shard
     requested: List[Dict[int, np.ndarray]] = []
+    cross_req: List[Dict[int, np.ndarray]] = []
     offsets_set = set()
     for s in range(num_shards):
         rows = neigh[s * block : (s + 1) * block]
         valid = rows[rows >= 0]
         remote = np.unique(valid[(valid < s * block) | (valid >= (s + 1) * block)])
         groups: Dict[int, np.ndarray] = {}
+        xgroups: Dict[int, np.ndarray] = {}
         for o in np.unique(owner(remote)):
-            d = int(o) - s
-            groups[d] = remote[owner(remote) == o]
-            offsets_set.add(d)
+            o = int(o)
+            rows_o = remote[owner(remote) == o]
+            if dph and host_of(o) != host_of(s):
+                xgroups[o] = rows_o
+            else:
+                groups[o - s] = rows_o
+                offsets_set.add(o - s)
         requested.append(groups)
+        cross_req.append(xgroups)
 
     offsets = tuple(sorted(offsets_set, key=lambda d: (abs(d), d)))
     halo = 0
@@ -113,13 +145,29 @@ def _partition_level(adj: np.ndarray, num_shards: int) -> LevelPartition:
             halo = max(halo, len(requested[s].get(d, ())))
     halo = max(halo, 1)
     num_off = max(len(offsets), 1)
+    cross_halo = 0
+    for s in range(num_shards):
+        for o, rows_o in cross_req[s].items():
+            cross_halo = max(cross_halo, len(rows_o))
+    if dph:
+        cross_halo = max(cross_halo, 1)
 
     send_idx = np.full((num_shards, num_off, halo), -1, dtype=np.int32)
     recv_mask = np.zeros((num_shards, num_off, halo), dtype=np.float32)
+    cross_send = (
+        np.zeros((num_shards, num_shards, cross_halo), dtype=np.int32)
+        if dph else None
+    )
+    cross_mask = (
+        np.zeros((num_shards, num_shards, cross_halo), dtype=np.float32)
+        if dph else None
+    )
     local_adj = np.zeros((num_shards, block, k), dtype=np.int32)
 
     for s in range(num_shards):
-        # halo slot map for shard s: offset j's rows land at [j*halo, j*halo+|req|)
+        # halo slot map for shard s: offset j's rows land at
+        # [j*halo, j*halo+|req|); cross-host rows from source o land after
+        # the intra region at [num_off*halo + o*cross_halo, ... + |req|)
         slot_of: Dict[int, int] = {}
         for j, d in enumerate(offsets):
             req = requested[s].get(d, np.zeros(0, np.int64))
@@ -134,6 +182,14 @@ def _partition_level(adj: np.ndarray, num_shards: int) -> LevelPartition:
             if 0 <= src < num_shards:
                 req = requested[s].get(d, np.zeros(0, np.int64))
                 send_idx[src, j, : len(req)] = req - src * block
+        if dph:
+            base = block + len(offsets) * halo
+            for o, req in cross_req[s].items():
+                for i, g in enumerate(req):
+                    slot_of[int(g)] = base + o * cross_halo + i
+                cross_mask[s, o, : len(req)] = 1.0
+                # source shard o sends these rows (its local indices) to s
+                cross_send[o, s, : len(req)] = req - o * block
 
         rows = neigh[s * block : (s + 1) * block]
         out = np.zeros_like(rows)
@@ -171,8 +227,10 @@ def _partition_level(adj: np.ndarray, num_shards: int) -> LevelPartition:
     self_mult = np.stack(selfs)
 
     # transpose slot maps over the halo-extended index space, for the
-    # scatter-free gather backward inside each shard
-    ext = block + num_off * halo
+    # scatter-free gather backward inside each shard — sized by the ACTUAL
+    # offset count (len(offsets) can be 0, e.g. D=1 overhead benchmarks,
+    # while the table arrays keep a min width of 1 for structural reasons)
+    ext = block + len(offsets) * halo + (num_shards * cross_halo if dph else 0)
     t_maps = [transpose_adjacency(local_adj[s], num_targets=ext)
               for s in range(num_shards)]
     k_t = max(t.shape[1] for t in t_maps)
@@ -191,25 +249,47 @@ def _partition_level(adj: np.ndarray, num_shards: int) -> LevelPartition:
         halo_size=halo,
         mult=mult,
         self_mult=self_mult,
+        cross_send=cross_send,
+        cross_mask=cross_mask,
+        cross_halo=cross_halo if dph else 0,
     )
 
 
 def build_partition(
-    adjs: Sequence[np.ndarray], num_shards: int
+    adjs: Sequence[np.ndarray],
+    num_shards: int,
+    devices_per_host: Optional[int] = None,
 ) -> GraphPartition:
     """Partition a coarsening pyramid for D shards. The fine level size must
     be divisible by D × (coarsening group)^(levels−1) so every level splits
     evenly (use :func:`facet_graph_convolution_tpu.data.dataset.pad_patch_to`
-    first)."""
+    first).
+
+    ``devices_per_host`` (multi-host meshes, parallel/distributed) splits the
+    halo traffic: intra-host rows ride the per-offset ``ppermute`` rings
+    (ICI); cross-host rows batch into one ``all_to_all`` per conv layer (one
+    DCN transfer instead of one per ring offset)."""
     return GraphPartition(
         num_shards=num_shards,
-        levels=[_partition_level(np.asarray(a), num_shards) for a in adjs],
+        levels=[
+            _partition_level(np.asarray(a), num_shards, devices_per_host)
+            for a in adjs
+        ],
     )
+
+
+def _cross_entries(lvl: LevelPartition):
+    """Cross-host all_to_all tables — appended to the operand tuple only on
+    host-aware partitions (build_partition(devices_per_host=...))."""
+    if lvl.cross_send is None:
+        return ()
+    return (jnp.asarray(lvl.cross_send), jnp.asarray(lvl.cross_mask))
 
 
 def partition_operands(part: GraphPartition):
     """Per-level device operands:
-    (local_adj, local_adj_t, send_idx, recv_mask, mult, self_mult) tuples."""
+    (local_adj, local_adj_t, send_idx, recv_mask, mult, self_mult
+    [, cross_send, cross_mask]) tuples."""
     return tuple(
         (
             jnp.asarray(lvl.local_adj),
@@ -219,6 +299,7 @@ def partition_operands(part: GraphPartition):
             jnp.asarray(lvl.mult),
             jnp.asarray(lvl.self_mult),
         )
+        + _cross_entries(lvl)
         for lvl in part.levels
     )
 
@@ -246,6 +327,7 @@ def partition_operands_nminor(part: GraphPartition):
                 jnp.asarray(lvl.recv_mask),
                 jnp.asarray(rows),
             )
+            + _cross_entries(lvl)
         )
     return tuple(ops)
 
@@ -254,10 +336,15 @@ def partition_operands_nminor(part: GraphPartition):
 # Device-side sharded ops (called inside shard_map; x blocks are [n, C])
 # ---------------------------------------------------------------------------
 
-def _halo_extend(x, send_idx, recv_mask, offsets, axis):
-    """Gather and exchange halo rows: returns [n + num_off·H, C] extended
-    features. Padding/inactive slots carry zeros so downstream zero-row
-    gather semantics hold."""
+def _halo_extend(x, send_idx, recv_mask, offsets, axis,
+                 cross_send=None, cross_mask=None):
+    """Gather and exchange halo rows: returns [n + num_off·H (+ D·Hx), C]
+    extended features. Padding/inactive slots carry zeros so downstream
+    zero-row gather semantics hold.
+
+    Intra-host traffic rides one ``ppermute`` per ring offset (ICI on a
+    process-contiguous mesh); when ``cross_send`` is given, all cross-host
+    rows batch into ONE ``all_to_all`` — a single DCN transfer per layer."""
     num_off, halo = send_idx.shape
     parts = [x]
     for j, d in enumerate(offsets):
@@ -268,11 +355,20 @@ def _halo_extend(x, send_idx, recv_mask, offsets, axis):
         received = jax.lax.ppermute(rows, axis, perm)
         received = received * recv_mask[j][:, None]
         parts.append(received)
+    if cross_send is not None:
+        d_sz, hx = cross_send.shape                      # [D, Hx] per shard
+        rows = jnp.take(x, cross_send.reshape(-1), axis=0)
+        rows = rows.reshape(d_sz, hx, x.shape[-1])       # block t → shard t
+        received = jax.lax.all_to_all(
+            rows, axis, split_axis=0, concat_axis=0, tiled=True
+        )                                                # block o ← shard o
+        received = received * cross_mask[..., None]
+        parts.append(received.reshape(d_sz * hx, x.shape[-1]))
     return jnp.concatenate(parts, axis=0)
 
 
-def _sharded_conv(params, x, adj, adj_t, send_idx, recv_mask, mult, self_mult,
-                  offsets, axis, variant=FacetConvVariant.DEFAULT):
+def _sharded_conv(params, x, ops, offsets, axis,
+                  variant=FacetConvVariant.DEFAULT):
     """Facet conv on one shard: halo-extend then aggregate-transform.
 
     Matches :func:`facet_graph_convolution_tpu.ops.conv.facet_conv` on the
@@ -285,6 +381,8 @@ def _sharded_conv(params, x, adj, adj_t, send_idx, recv_mask, mult, self_mult,
     """
     from facet_graph_convolution_tpu.ops.gather import gather_neighbors
 
+    adj, adj_t, send_idx, recv_mask, mult, self_mult = ops[:6]
+    cross_send, cross_mask = ops[6:] if len(ops) > 6 else (None, None)
     u, c = params["u"], params["c"]
     in_ch = x.shape[-1]
 
@@ -303,7 +401,8 @@ def _sharded_conv(params, x, adj, adj_t, send_idx, recv_mask, mult, self_mult,
     # lanes (gather cost is row-overhead bound, width-insensitive); the self
     # slot is the local row, prepended without a gather
     cat = jnp.concatenate([x, x @ proj.T], axis=-1)      # [n, C+M]
-    cat_ext = _halo_extend(cat, send_idx, recv_mask, offsets, axis)
+    cat_ext = _halo_extend(cat, send_idx, recv_mask, offsets, axis,
+                           cross_send, cross_mask)
     cat_nbr = gather_neighbors(cat_ext, adj, adj_t)      # [n, K', C+M]
     cat_nbr = jnp.concatenate([cat[:, None, :], cat_nbr], axis=1)
     mult_all = jnp.concatenate([self_mult[:, None], mult], axis=1)
@@ -322,8 +421,9 @@ def _sharded_conv(params, x, adj, adj_t, send_idx, recv_mask, mult, self_mult,
     return jnp.where((deg > 0)[:, None], y + params["b"], y)
 
 
-def _halo_extend_nminor(x_t, send_idx, recv_mask, offsets, axis):
-    """Node-minor halo exchange: ``x_t`` [C, n] → [C, n + num_off·H].
+def _halo_extend_nminor(x_t, send_idx, recv_mask, offsets, axis,
+                        cross_send=None, cross_mask=None):
+    """Node-minor halo exchange: ``x_t`` [C, n] → [C, n + num_off·H (+ D·Hx)].
 
     Same semantics as :func:`_halo_extend` with the node axis minormost —
     the exchanged blocks are [C, H] lane slices, so the ppermute payload is
@@ -337,11 +437,19 @@ def _halo_extend_nminor(x_t, send_idx, recv_mask, offsets, axis):
         received = jax.lax.ppermute(cols, axis, perm)
         received = received * recv_mask[j][None, :]
         parts.append(received)
+    if cross_send is not None:
+        d_sz, hx = cross_send.shape
+        cols = jnp.take(x_t, cross_send.reshape(-1), axis=1)
+        cols = cols.reshape(x_t.shape[0], d_sz, hx)      # block t → shard t
+        received = jax.lax.all_to_all(
+            cols, axis, split_axis=1, concat_axis=1, tiled=True
+        )                                                # block o ← shard o
+        received = received * cross_mask[None, :, :]
+        parts.append(received.reshape(x_t.shape[0], d_sz * hx))
     return jnp.concatenate(parts, axis=1)
 
 
-def _sharded_conv_nminor(params, x_t, adj, adj_t, send_idx, recv_mask,
-                         mult_rows, offsets, axis,
+def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
                          variant=FacetConvVariant.DEFAULT, compute_dtype=None):
     """Node-minor sharded facet conv: ``x_t`` [C, n] → [out, n].
 
@@ -354,6 +462,8 @@ def _sharded_conv_nminor(params, x_t, adj, adj_t, send_idx, recv_mask,
     multiplicity × 1/degree table (slot 0 = self, 0 on padding)."""
     from facet_graph_convolution_tpu.ops.gather import gather_neighbors
 
+    adj, adj_t, send_idx, recv_mask, mult_rows = ops[:5]
+    cross_send, cross_mask = ops[5:] if len(ops) > 5 else (None, None)
     u, c, w, b = params["u"], params["c"], params["w"], params["b"]
     dtype = compute_dtype or x_t.dtype
     in_ch, n = x_t.shape
@@ -369,7 +479,8 @@ def _sharded_conv_nminor(params, x_t, adj, adj_t, send_idx, recv_mask,
     vx_t = proj @ x_t                                    # [M, n]
     ux_t = u @ x_t                                       # [M, n]
     cat_t = jnp.concatenate([x_t, vx_t], axis=0).astype(dtype)   # [C+M, n]
-    cat_ext_t = _halo_extend_nminor(cat_t, send_idx, recv_mask, offsets, axis)
+    cat_ext_t = _halo_extend_nminor(cat_t, send_idx, recv_mask, offsets, axis,
+                                    cross_send, cross_mask)
     cat_ext = cat_ext_t.T                                # one boundary transpose
     cat_nbr = gather_neighbors(cat_ext, adj, adj_t)      # [n, K', C+M]
     # self slot: the local row, prepended without a gather
@@ -404,7 +515,7 @@ def sharded_unet_forward_local_nminor(
     o0, o1, o2 = offsets_per_level
 
     def conv(p, h_t, ops, offs):
-        return _sharded_conv_nminor(p, h_t, *ops, offs, axis,
+        return _sharded_conv_nminor(p, h_t, ops, offs, axis,
                                     compute_dtype=compute_dtype)
 
     def lin(name, h_t):
@@ -487,7 +598,7 @@ def sharded_unet_forward_local(
     o0, o1, o2 = offsets_per_level
 
     def conv(p, h, ops, offs):
-        return _sharded_conv(p, h, *ops, offs, axis)
+        return _sharded_conv(p, h, ops, offs, axis)
 
     h1 = lrelu(conv(params["conv1"], x, ops0, o0), alpha)
     p1 = tree_pool(h1, steps=coarsening_steps, mode="max")
@@ -548,6 +659,19 @@ def sharded_unet_apply(
     nminor = layout == "nminor"
     operands = (partition_operands_nminor if nminor else partition_operands)(part)
     offsets = tuple(lvl.offsets for lvl in part.levels)
+    if jax.process_count() > 1:
+        # multi-host: every process holds the full host-side tables; build
+        # global arrays carrying only the addressable shards
+        from facet_graph_convolution_tpu.parallel.distributed import (
+            distribute,
+            replicate,
+        )
+
+        operands = jax.tree.map(
+            lambda a: distribute(mesh, P(axis), np.asarray(a)), operands
+        )
+        x = distribute(mesh, P(axis), np.asarray(x))
+        params = replicate(mesh, params)
 
     in_specs = (
         P(),
@@ -592,6 +716,12 @@ def make_sharded_train_step(
     nminor = layout == "nminor"
     operands = (partition_operands_nminor if nminor else partition_operands)(part)
     offsets = tuple(lvl.offsets for lvl in part.levels)
+    if jax.process_count() > 1:
+        from facet_graph_convolution_tpu.parallel.distributed import distribute
+
+        operands = jax.tree.map(
+            lambda a: distribute(mesh, P(axis), np.asarray(a)), operands
+        )
     compute_dtype = (
         jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
     )
@@ -601,6 +731,7 @@ def make_sharded_train_step(
         P(axis),
         P(axis),
         P(axis),
+        P(),                                      # rotation matrix (replicated)
         jax.tree.map(lambda _: P(axis), operands),
     )
 
@@ -608,8 +739,17 @@ def make_sharded_train_step(
         jax.shard_map, mesh=mesh,
         in_specs=in_specs, out_specs=(P(), P()),
     )
-    def loss_and_grads(params, x_block, gt_block, mask_block, level_ops):
+    def loss_and_grads(params, x_block, gt_block, mask_block, rot, level_ops):
+        from facet_graph_convolution_tpu.models.augment import (
+            rotate_inputs,
+            rotate_vec3,
+        )
+
         level_ops = jax.tree.map(lambda arr: arr[0], level_ops)
+        # rotation augmentation is row-wise, so applying it per shard block
+        # matches the single-device trainer exactly (train.py:437-483)
+        x_block = rotate_inputs(rot, x_block)
+        gt_block = rotate_vec3(rot, gt_block)
 
         def loss_fn(params):
             if nminor:
@@ -631,14 +771,58 @@ def make_sharded_train_step(
         grads = jax.lax.pmean(grads, axis)
         return jax.lax.pmean(loss, axis), grads
 
+    def _rot(key):
+        from facet_graph_convolution_tpu.models.augment import random_rotation
+
+        if key is None:
+            return jnp.eye(3, dtype=jnp.float32)
+        return random_rotation(key)
+
+    # operands are passed as jit ARGUMENTS (multi-host jax.Arrays cannot be
+    # closed over — they span non-addressable devices)
     @jax.jit
-    def step(state: TrainState, x, gt, sample_mask):
-        loss, grads = loss_and_grads(state.params, x, gt, sample_mask, operands)
+    def _step(state: TrainState, x, gt, sample_mask, key, ops):
+        loss, grads = loss_and_grads(
+            state.params, x, gt, sample_mask, _rot(key), ops
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
+    @jax.jit
+    def _eval(params, x, gt, sample_mask, ops):
+        loss, _ = loss_and_grads(
+            params, x, gt, sample_mask, jnp.eye(3, dtype=jnp.float32), ops
+        )
+        return loss
+
+    def step(state: TrainState, x, gt, sample_mask, key=None):
+        return _step(state, x, gt, sample_mask, key, operands)
+
+    step.eval = lambda params, x, gt, sample_mask: _eval(
+        params, x, gt, sample_mask, operands
+    )
     return step
+
+
+def _prepare_sharded_mesh_arrays(cfg, patch, mesh, axis):
+    """Pad + partition one whole-mesh patch for the mesh and stage its
+    input/GT arrays (globally sharded in multi-process runs)."""
+    from facet_graph_convolution_tpu.data.dataset import bucket_size, pad_patch_to
+
+    n_dev = mesh.shape[axis]
+    group = (2 ** cfg.model.coarsening_steps) ** (cfg.model.coarsening_levels - 1)
+    padded = pad_patch_to(patch, bucket_size(patch.num_nodes, group * n_dev))
+    dph = jax.local_device_count() if jax.process_count() > 1 else None
+    part = build_partition(padded.adjs, n_dev, devices_per_host=dph)
+
+    if jax.process_count() > 1:
+        from facet_graph_convolution_tpu.parallel.distributed import distribute
+
+        stage = lambda a: distribute(mesh, P(axis), np.asarray(a))
+    else:
+        stage = jnp.asarray
+    return part, stage(padded.inputs), stage(padded.gt_normals), padded.num_nodes, stage
 
 
 def train_normals_sharded(
@@ -646,41 +830,88 @@ def train_normals_sharded(
     patch,                              # FacetPatch covering the whole mesh
     mesh: Mesh,
     num_iterations: int,
+    valid_patches: Optional[Sequence] = None,
     axis: str = "graph",
     loss_samples: Optional[int] = None,
     log_every: int = 50,
     seed: int = 0,
+    checkpoint: bool = True,
 ):
     """Train on ONE large edge-partitioned mesh: the graph-parallel
     counterpart of the per-patch loop — every step is a full-graph forward
     over all shards with a fresh random loss-face sample (the analogue of the
-    reference's 4000-face sampling, train.py:415,561)."""
-    import numpy as np
+    reference's 4000-face sampling, train.py:415,561).
 
-    from facet_graph_convolution_tpu.data.dataset import bucket_size, pad_patch_to
+    Full driver contract (matching the single-device ``train_normals``,
+    training/trainer.py): in-graph rotation augmentation, Orbax
+    checkpoint/resume, periodic validation sweep over ``valid_patches``
+    (each partitioned over the same mesh), NaN abort, and the
+    ``<network_path>/<net_name>.csv`` loss-history artifact. Works unchanged
+    under multi-process execution (parallel/distributed): host RNG draws are
+    seed-deterministic so every process stays in lockstep, and only process
+    0 writes the CSV.
+    """
+    from facet_graph_convolution_tpu.training.checkpoint import CheckpointManager
     from facet_graph_convolution_tpu.training.trainer import create_train_state
 
-    n_dev = mesh.shape[axis]
-    group = (2 ** cfg.model.coarsening_steps) ** (cfg.model.coarsening_levels - 1)
-    padded = pad_patch_to(patch, bucket_size(patch.num_nodes, group * n_dev))
-    part = build_partition(padded.adjs, n_dev)
+    part, x, gt, n, stage = _prepare_sharded_mesh_arrays(cfg, patch, mesh, axis)
 
     key = jax.random.PRNGKey(seed)
     state, tx = create_train_state(key, cfg)
+    if jax.process_count() > 1:
+        from facet_graph_convolution_tpu.parallel.distributed import replicate
+
+        state = replicate(mesh, state)
     step = make_sharded_train_step(tx, cfg, part, mesh, axis=axis)
 
-    x = jnp.asarray(padded.inputs)
-    gt = jnp.asarray(padded.gt_normals)
-    n = padded.num_nodes
+    ckpt = CheckpointManager(cfg.train.network_path, cfg.train.net_name) if checkpoint else None
+    start_step = 0
+    if ckpt is not None:
+        state, start_step = ckpt.restore(state)
+
+    valid = []
+    for vp in valid_patches or []:
+        vpart, vx, vgt, vn, _ = _prepare_sharded_mesh_arrays(cfg, vp, mesh, axis)
+        vstep = make_sharded_train_step(tx, cfg, vpart, mesh, axis=axis)
+        valid.append((vstep.eval, vx, vgt, vn))
+
     samples = loss_samples or cfg.train.loss_samples
+    augment = cfg.train.augment_rotations
     rng = np.random.default_rng(seed)
     losses = []
+    loss_hist: List[Tuple[float, float]] = []
+    last_valid = float("nan")
     with mesh:
         for it in range(num_iterations):
             mask = np.zeros(n, np.float32)
             mask[rng.integers(0, n, size=samples)] = 1.0
-            state, loss = step(state, x, gt, jnp.asarray(mask))
+            key, sub = jax.random.split(key)
+            state, loss = step(state, x, gt, stage(mask),
+                               sub if augment else None)
             losses.append(float(loss))
+            if valid and it % cfg.train.valid_every == 0:
+                vloss = 0.0
+                for eval_fn, vx, vgt, vn in valid:
+                    vmask = np.zeros(vn, np.float32)
+                    vmask[rng.integers(0, vn, size=min(samples, vn))] = 1.0
+                    vloss += float(eval_fn(state.params, vx, vgt, stage(vmask)))
+                last_valid = vloss / len(valid)
             if it % log_every == 0:
-                print(f"iter {it}: sharded loss {losses[-1]:.4f}")
+                avg = float(np.mean(losses[-log_every:]))
+                loss_hist.append((avg, last_valid))
+                print(f"iter {it}: sharded loss {avg:.4f}"
+                      + (f" valid {last_valid:.4f}" if valid else ""))
+                if not np.isfinite(avg):
+                    print("NaN training loss — aborting")
+                    break
+            if ckpt is not None and it > 0 and it % cfg.train.save_every == 0:
+                ckpt.save(start_step + it, state)
+    if ckpt is not None:
+        ckpt.save(start_step + num_iterations, state)
+        ckpt.close()
+    if jax.process_index() == 0 and loss_hist:
+        os.makedirs(cfg.train.network_path, exist_ok=True)
+        csv_path = os.path.join(cfg.train.network_path, cfg.train.net_name + ".csv")
+        with open(csv_path, "ab") as fh:
+            np.savetxt(fh, np.asarray(loss_hist, dtype=np.float64), delimiter=",")
     return state, np.asarray(losses)

@@ -26,7 +26,11 @@ def make_mesh(
     devices = np.asarray(jax.devices())
     if axis_sizes is None:
         axis_sizes = (1, len(devices))
-    assert int(np.prod(axis_sizes)) == len(devices), (
-        f"mesh {axis_sizes} != {len(devices)} devices"
+    need = int(np.prod(axis_sizes))
+    assert need <= len(devices), (
+        f"mesh {tuple(axis_sizes)} needs {need} devices, "
+        f"{len(devices)} available"
     )
-    return Mesh(devices.reshape(axis_sizes), axis_names)
+    # a subset mesh (e.g. D=1 sharding-overhead benchmarks) uses the first
+    # `need` devices
+    return Mesh(devices[:need].reshape(tuple(axis_sizes)), axis_names)
