@@ -181,6 +181,61 @@ def measure_sharded(steps=20, repeats=3, subdiv=5, num_shards=None):
     }
 
 
+def measure_dp(steps=20, repeats=3, subdiv=5):
+    """Data-parallel step throughput per chip (scanned dispatch, full fast
+    path): with B = device count, per-chip edges/s should match the plain
+    single-chip step (VERDICT round-1 item 2 'done' criterion)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fgc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from facet_graph_convolution_tpu.config import default_config
+    from facet_graph_convolution_tpu.parallel.data_parallel import (
+        build_patch_bank,
+        make_dp_scanned_step,
+        make_dp_train_step,
+    )
+    from facet_graph_convolution_tpu.parallel.mesh import make_mesh
+    from facet_graph_convolution_tpu.training.trainer import create_train_state
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh((n_dev, 1), ("data", "graph"))
+    patch = build_bench_patch(subdiv=subdiv)
+    cfg = default_config().replace(model={"compute_dtype": "bfloat16"})
+    bank = jax.tree.map(jnp.asarray, build_patch_bank([patch], cfg))
+    edges = count_edges(patch) * n_dev          # per step, summed over chips
+
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_dp_train_step(tx, cfg, mesh)
+    run = make_dp_scanned_step(step_fn)
+    idxs = jnp.zeros((steps, n_dev), jnp.int32)
+
+    with mesh:
+        keys = jax.random.split(jax.random.PRNGKey(1), (steps, n_dev))
+        state, losses = run(state, bank, idxs, keys)
+        _ = float(losses[-1])
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            state, losses = run(state, bank, idxs, keys)
+            _ = float(losses[-1])
+            times.append((time.perf_counter() - t0) / steps)
+    times.sort()
+    median = times[len(times) // 2]
+    return {
+        "edges_per_step": edges,
+        "median_step_s": median,
+        "edges_per_s": edges / median,
+        "edges_per_s_per_chip": edges / median / n_dev,
+        "devices": n_dev,
+        "platform": jax.default_backend(),
+        "final_loss": float(losses[-1]),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true",
@@ -194,6 +249,9 @@ def main():
     parser.add_argument("--sharded", action="store_true",
                         help="benchmark the halo-exchange sharded step over "
                              "all visible devices")
+    parser.add_argument("--dp", action="store_true",
+                        help="benchmark the data-parallel step (per-chip "
+                             "edges/s)")
     parser.add_argument("--shards", type=int, default=None,
                         help="shard count for --sharded (default: all devices)")
     args = parser.parse_args()
@@ -202,6 +260,23 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.dp:
+        result = measure_dp(steps=args.steps, subdiv=args.subdiv)
+        baseline = None
+        if os.path.isfile(BASELINE_FILE):
+            with open(BASELINE_FILE) as fh:
+                baseline = json.load(fh)
+        vs = (result["edges_per_s_per_chip"] / baseline["edges_per_s"]
+              if baseline else -1.0)
+        print(json.dumps({
+            "metric": "dp_train_step_edges_per_s_per_chip",
+            "value": round(result["edges_per_s_per_chip"], 1),
+            "unit": "edges/s",
+            "vs_baseline": round(vs, 3),
+            "devices": result["devices"],
+        }))
+        return
 
     if args.sharded:
         result = measure_sharded(steps=args.steps, subdiv=args.subdiv,

@@ -835,7 +835,7 @@ def train_normals_sharded(
     loss_samples: Optional[int] = None,
     log_every: int = 50,
     seed: int = 0,
-    checkpoint: bool = True,
+    checkpoint: bool = False,
 ):
     """Train on ONE large edge-partitioned mesh: the graph-parallel
     counterpart of the per-patch loop — every step is a full-graph forward
@@ -868,6 +868,11 @@ def train_normals_sharded(
     start_step = 0
     if ckpt is not None:
         state, start_step = ckpt.restore(state)
+        if start_step:
+            # restored arrays land on one device; re-replicate over the mesh
+            from jax.sharding import NamedSharding
+
+            state = jax.device_put(state, NamedSharding(mesh, P()))
 
     valid = []
     for vp in valid_patches or []:

@@ -160,34 +160,87 @@ def test_sharded_nminor_matches_rowmajor(sphere_patch):
         )
 
 
-def test_dp_step_runs(sphere_patch):
-    import optax
+def test_dp_step_fast_path_matches_single_chip(sphere_patch):
+    """The DP step runs the single-chip fast path (dedup/self-split/
+    node-minor/lane arrays): with augmentation off and full-coverage loss
+    sampling, the DP mean loss equals the single-device trainer's loss for
+    the same patch and params, and params update."""
+    from facet_graph_convolution_tpu.parallel.data_parallel import (
+        build_patch_bank,
+        make_dp_scanned_step,
+    )
+    from facet_graph_convolution_tpu.training.trainer import (
+        make_normals_train_step,
+        _patch_arrays,
+    )
 
     cfg = default_config().replace(
         model={"channels": (8, 16, 32), "num_filters": 4, "fc_channels": 32},
-        train={"loss_samples": 128},
+        train={"loss_samples": 128, "augment_rotations": False},
     )
     mesh = make_mesh((8, 1), ("data", "graph"))
     state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
     step = make_dp_train_step(tx, cfg, mesh)
 
-    patches = [sphere_patch] * 8
-    x, adjs, gt = stack_patches(patches, sphere_patch.num_nodes)
+    # a bank of two patches (the same mesh twice keeps shapes trivial)
+    bank = jax.tree.map(
+        jnp.asarray, build_patch_bank([sphere_patch, sphere_patch], cfg)
+    )
+    idx = jnp.zeros((8,), jnp.int32)
     keys = jax.random.split(jax.random.PRNGKey(1), 8)
+    same_keys = jnp.stack([keys[0]] * 8)
+
     with mesh:
-        state1, loss = step(
-            state, jnp.asarray(x), tuple(jnp.asarray(a) for a in adjs),
-            jnp.asarray(gt), keys,
-        )
-        assert np.isfinite(float(loss))
-        state2, loss2 = step(
-            state1, jnp.asarray(x), tuple(jnp.asarray(a) for a in adjs),
-            jnp.asarray(gt), keys,
-        )
-    # params actually updated
+        # identical patch + identical key on every device ⇒ DP mean loss ==
+        # single-device train-step loss with the same key discipline
+        state1, loss = step(state, bank, idx, same_keys)
+        ref_step = make_normals_train_step(tx, cfg)
+        x, adjs, gt, adj_ts, mults = _patch_arrays(sphere_patch)
+        _, ref = ref_step(state, x, adjs, gt, keys[0], adj_ts, mults)
+        np.testing.assert_allclose(float(loss), float(ref), rtol=1e-4)
+
+        # scanned multi-step dispatch
+        run = make_dp_scanned_step(step)
+        idxs = jnp.zeros((4, 8), jnp.int32)
+        skeys = jax.random.split(jax.random.PRNGKey(2), (4, 8))
+        state2, losses = run(state1, bank, idxs, skeys)
+        assert np.isfinite(np.asarray(losses)).all()
+
     w0 = np.asarray(state.params["conv1"]["w"])
     w1 = np.asarray(state1.params["conv1"]["w"])
     assert not np.allclose(w0, w1)
+
+
+def test_dp_driver_full_contract(tmp_path):
+    """train_normals_dp: scanned dispatch, validation sweep, checkpoint and
+    CSV artifacts (driver parity with the single-chip train_normals)."""
+    from facet_graph_convolution_tpu.parallel.data_parallel import train_normals_dp
+
+    v, f = make_icosphere(2)
+    rng = np.random.default_rng(3)
+    ds = TrainingSet(max_patch_size=20000, coarsening_steps=2,
+                     coarsening_levels=3, k_faces=23, seed=0)
+    for s in range(2):
+        noisy = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
+        ds.add_mesh(noisy, f, gt_vertices=v)
+
+    cfg = default_config().replace(
+        model={"channels": (8, 16, 32), "num_filters": 4, "fc_channels": 32},
+        train={"loss_samples": 128, "network_path": str(tmp_path),
+               "net_name": "dpnet", "valid_every": 4, "save_every": 8},
+    )
+    mesh = make_mesh((8, 1), ("data", "graph"))
+    state, losses = train_normals_dp(
+        cfg, ds, mesh, valid_set=ds, num_iterations=8, steps_per_call=4,
+        checkpoint=True,
+    )
+    assert np.isfinite(losses).all() and losses.shape[0] == 8
+    assert (tmp_path / "dpnet.csv").exists()
+    # resumable: a fresh driver restores from the saved checkpoint
+    state2, _ = train_normals_dp(
+        cfg, ds, mesh, num_iterations=2, checkpoint=True,
+    )
+    assert int(state2.step) >= 2
 
 
 def test_sharded_whole_mesh_inference_matches_patched():
