@@ -12,3 +12,9 @@ from facet_graph_convolution_tpu.evaluation.parity import (  # noqa: F401
     compare_activations,
     export_activations,
 )
+from facet_graph_convolution_tpu.evaluation.tf_checkpoint import (  # noqa: F401
+    export_unet_to_tf,
+    load_reference_unet,
+    read_tf_checkpoint,
+    write_tf_checkpoint,
+)
