@@ -33,6 +33,7 @@ from facet_graph_convolution_tpu.ops.conv import (
     init_facet_conv,
     init_linear,
     linear,
+    per_conv_variants,
 )
 from facet_graph_convolution_tpu.ops.normalization import lrelu
 from facet_graph_convolution_tpu.ops.pooling import (
@@ -59,11 +60,16 @@ def init_unet(
     N(0, 0.01) biases, model.py:31-44)."""
     c0, c1, c2 = channels
     keys = iter(jax.random.split(key, 16))
+    # rotation invariance applies to the FIRST conv only (reference
+    # model.py:858 vs 870-930); translation invariance to every conv
+    v_first, v_rest = per_conv_variants(variant)
+    kw1 = dict(num_filters=num_filters, std_dev=std_dev,
+               std_dev_bias=std_dev_bias, variant=v_first)
     kw = dict(num_filters=num_filters, std_dev=std_dev,
-              std_dev_bias=std_dev_bias, variant=variant)
+              std_dev_bias=std_dev_bias, variant=v_rest)
     lw = dict(std_dev=std_dev, std_dev_bias=std_dev_bias)
     params = {
-        "conv1": init_facet_conv(next(keys), in_channels, c0, **kw),
+        "conv1": init_facet_conv(next(keys), in_channels, c0, **kw1),
         "conv2": init_facet_conv(next(keys), c0, c1, **kw),
         "conv3": init_facet_conv(next(keys), c1, c2, **kw),
         "dconv3": init_facet_conv(next(keys), c2, c2, **kw),
@@ -109,12 +115,15 @@ def unet_apply(
         mults = [None] * len(adjs)
     tmap = dict(zip([id(a) for a in adjs], zip(adj_ts, mults)))
 
+    v_first, v_rest = per_conv_variants(variant)
+
     def conv(name, h, a):
         adj_t, mult = tmap.get(id(a), (None, None))
+        var = v_first if name == "conv1" else v_rest
 
         def apply(p, h):
             return facet_conv(
-                p, h, a, variant=variant, compute_dtype=compute_dtype,
+                p, h, a, variant=var, compute_dtype=compute_dtype,
                 adj_t=adj_t, mult=mult,
             )
 
@@ -130,7 +139,6 @@ def unet_apply(
                 "settings.py:32)"
             )
         h = lrelu(conv("conv1", x, adjs[0]), alpha)
-        h = lrelu(conv("dconv1_single", h, adjs[0]), alpha) if "dconv1_single" in params else h
         h = lrelu(linear(params["fc1"], h), alpha)
         return linear(params["out0"], h)
 
@@ -194,7 +202,10 @@ def unet_apply_pallas(
 
     if variant not in (FacetConvVariant.DEFAULT,
                        FacetConvVariant.TRANSLATION_INVARIANT):
-        raise NotImplementedError("pallas path: default/translation-invariant only")
+        raise NotImplementedError(
+            "pallas backend: default/translation-invariant only — the "
+            "default node-minor path supports rotation invariance"
+        )
     ti = variant == FacetConvVariant.TRANSLATION_INVARIANT
     tmap = dict(zip([id(a) for a in adjs], zip(adj_ts, mult_rows)))
 
@@ -210,8 +221,6 @@ def unet_apply_pallas(
         if multi_scale:
             raise ValueError("multi_scale heads need the 3-level pyramid")
         h = h1
-        if "dconv1_single" in params:
-            h = lrelu(conv("dconv1_single", h, adjs[0]), alpha)
         h = lrelu(linear(params["fc1"], h), alpha)
         return linear(params["out0"], h)
 
@@ -276,12 +285,14 @@ def unet_apply_nminor(
     the transposes at the boundary are node-count × small-channel arrays.
     """
     tmap = dict(zip([id(a) for a in adjs], zip(adj_ts, mult_rows)))
+    v_first, v_rest = per_conv_variants(variant)
 
     def conv(name, h_t, a):
         adj_t, rows = tmap[id(a)]
         return facet_conv_nminor(
             params[name], h_t, a, adj_t, rows,
-            variant=variant, compute_dtype=compute_dtype, lane=lane,
+            variant=v_first if name == "conv1" else v_rest,
+            compute_dtype=compute_dtype, lane=lane,
         )
 
     def lin(name, h_t):
@@ -294,8 +305,6 @@ def unet_apply_nminor(
         if multi_scale:
             raise ValueError("multi_scale heads need the 3-level pyramid")
         h = lrelu(conv("conv1", x_t, adjs[0]), alpha)
-        if "dconv1_single" in params:
-            h = lrelu(conv("dconv1_single", h, adjs[0]), alpha)
         h = lrelu(lin("fc1", h), alpha)
         return lin("out0", h).T
 

@@ -26,7 +26,7 @@ direct formulation is kept as :func:`facet_conv_gather` for oracle testing.
 from __future__ import annotations
 
 import enum
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -149,19 +149,37 @@ def assignment_weights(
     return jax.nn.softmax(logits, axis=-1)
 
 
-def _rotation_invariant_logits(u, c, x, adj) -> jnp.ndarray:
-    """Rotation-invariant assignment logits. Channel layouts follow the
-    reference (model.py:452-460): 3 = normals; 4 = normals + area
-    (neighbour area ratio, model.py:282-288); 6 = normals + position
-    (relative, rotated, model.py:310-377)."""
+def per_conv_variants(variant: FacetConvVariant) -> Tuple[FacetConvVariant, FacetConvVariant]:
+    """(first conv's variant, remaining convs' variant) — reference
+    semantics: ``bRotInvariant`` reaches ONLY the first conv
+    (``rotation_invariance=bRotInvariant`` at model.py:858; every other conv
+    passes ``rotation_invariance=False``, model.py:870-930), while
+    ``bTransInvariant`` reaches every conv."""
+    rest = (variant if variant == FacetConvVariant.TRANSLATION_INVARIANT
+            else FacetConvVariant.DEFAULT)
+    return variant, rest
+
+
+def _rotation_invariant_feats(x, x_nbr, self_slot: bool) -> jnp.ndarray:
+    """Rotation-invariant assignment features from PRE-GATHERED neighbours
+    ``x_nbr`` [N, K, C]. Channel layouts follow the reference
+    (model.py:452-460): 3 = normals; 4 = normals + area (neighbour area
+    ratio, model.py:282-288); 6 = normals + position (relative, rotated,
+    model.py:310-377).
+
+    ``self_slot=True`` prepends the analytic self slot (used on self-split
+    graphs where the self entry is removed from the K-list): the rotation
+    aligns the node's own normal with +z exactly, so the self features are
+    ``[0, 0, 1]`` normals, area ratio 1, and relative position 0 — no gather
+    needed."""
     in_ch = x.shape[-1]
     normals = x[:, :3]
     rot = rotation_to_axis(normals)                            # [N, 3, 3]
-    x_nbr = gather_neighbors(x, adj)                           # [N, K, C]
     n_nbr = x_nbr[..., :3]
     n_rot = jnp.einsum("nij,nkj->nki", rot, n_nbr)
     if in_ch == 3:
         feats = n_rot
+        self_feats = jnp.array([0.0, 0.0, 1.0], dtype=x.dtype)
     elif in_ch == 4:
         # guard the ratio for fake (zero-area) centre nodes: the reference
         # divides raw (model.py:286, dead path) which yields NaN that
@@ -172,12 +190,23 @@ def _rotation_invariant_logits(u, c, x, adj) -> jnp.ndarray:
             jnp.abs(center_area) > 1e-12, x_nbr[..., 3:] / safe, 0.0
         )
         feats = jnp.concatenate([n_rot, area_ratio], axis=-1)
+        self_feats = jnp.array([0.0, 0.0, 1.0, 1.0], dtype=x.dtype)
     elif in_ch == 6:
         rel = x_nbr[..., 3:] - x[:, None, 3:]
         p_rot = jnp.einsum("nij,nkj->nki", rot, rel)
         feats = jnp.concatenate([n_rot, p_rot], axis=-1)
+        self_feats = jnp.array([0, 0, 1, 0, 0, 0], dtype=x.dtype)
     else:
         raise ValueError(f"rotation-invariant assignment needs 3/4/6 channels, got {in_ch}")
+    if self_slot:
+        self_row = jnp.broadcast_to(self_feats, (x.shape[0], 1, in_ch))
+        feats = jnp.concatenate([self_row, feats], axis=1)
+    return feats
+
+
+def _rotation_invariant_logits(u, c, x, adj) -> jnp.ndarray:
+    x_nbr = gather_neighbors(x, adj)                           # [N, K, C]
+    feats = _rotation_invariant_feats(x, x_nbr, self_slot=False)
     return jnp.einsum("nkc,mc->nkm", feats, u) + c
 
 
@@ -241,15 +270,38 @@ def facet_conv(
     if variant in (FacetConvVariant.DEFAULT, FacetConvVariant.TRANSLATION_INVARIANT):
         return _facet_conv_fused(params, x, adj, variant, bias_mask,
                                  compute_dtype, adj_t, mult)
+
+    # rotation-invariant: the assignment depends on gathered + rotated
+    # neighbour features (no projection commutes with the gather), so gather
+    # x once and reuse it for both assignment and aggregation. Self-split
+    # graphs get the analytic self slot (no gather).
+    self_mult = None
     if isinstance(mult, (tuple, list)):
-        raise NotImplementedError(
-            "self-split graphs (mult as (mult, self_mult)) are only supported "
-            "by the fused default/translation-invariant path; build arrays "
-            "with split_self=False for the rotation-invariant variant"
-        )
-    q = assignment_weights(params, x, adj, variant, adj_t=adj_t)
-    return _finish_conv(q, x, adj, params["w"], params["b"], bias_mask,
-                        compute_dtype, adj_t=adj_t, mult=mult)
+        mult, self_mult = mult
+    dtype = compute_dtype or x.dtype
+    x_nbr = gather_neighbors(x, adj, adj_t)                    # [N, K, C]
+    feats = _rotation_invariant_feats(
+        x, x_nbr, self_slot=self_mult is not None
+    )
+    logits = jnp.einsum("nkc,mc->nkm", feats, params["u"]) + params["c"]
+    q = jax.nn.softmax(logits, axis=-1)
+    if self_mult is not None:
+        x_nbr = jnp.concatenate([x[:, None, :], x_nbr], axis=1)
+        mult = jnp.concatenate([self_mult[:, None], mult], axis=1)
+    if mult is not None:
+        q = q * mult[:, :, None]
+        deg = jnp.sum(mult, axis=-1)
+    else:
+        deg = neighbor_counts(adj)
+    inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1), 0.0).astype(dtype)
+    z = jnp.einsum("nkm,nkc->nmc", q.astype(dtype), x_nbr.astype(dtype),
+                   preferred_element_type=jnp.float32)
+    z = (z * inv_deg[:, None, None]).astype(dtype)
+    y = jnp.einsum("nmc,moc->no", z, params["w"].astype(dtype),
+                   preferred_element_type=jnp.float32).astype(jnp.float32)
+    if bias_mask:
+        return jnp.where((deg > 0)[:, None], y + params["b"], y)
+    return y + params["b"]
 
 
 def _facet_conv_fused(params, x, adj, variant, bias_mask, compute_dtype, adj_t,
@@ -335,12 +387,9 @@ def facet_conv_nminor(
     (slot 0 = self): multiplicity × 1/deg, 0 on padding. ``adj`` [N, K]
     lists neighbours only (self split out), ``adj_t`` its transpose map.
     """
-    if variant not in (FacetConvVariant.DEFAULT,
-                       FacetConvVariant.TRANSLATION_INVARIANT):
-        raise NotImplementedError(
-            "node-minor conv supports the default/translation-invariant "
-            "assignments; use facet_conv for the rotation-invariant variant"
-        )
+    if variant == FacetConvVariant.ROTATION_INVARIANT:
+        return _facet_conv_nminor_rotinv(params, x_t, adj, adj_t, mult_rows,
+                                         compute_dtype, lane)
     u, c, w, b = params["u"], params["c"], params["w"], params["b"]
     dtype = compute_dtype or x_t.dtype
     in_ch, n = x_t.shape
@@ -373,6 +422,46 @@ def facet_conv_nminor(
                      preferred_element_type=jnp.float32)
     # bias where deg > 0 (reference biasMask, model.py:496-500); with the
     # self slot always present this gates only all-padding rows
+    gate = (jnp.sum(mult_rows, axis=0) > 0).astype(y_t.dtype)
+    return y_t + b[:, None] * gate[None, :]
+
+
+def _facet_conv_nminor_rotinv(params, x_t, adj, adj_t, mult_rows,
+                              compute_dtype=None, lane: bool = False):
+    """Rotation-invariant node-minor conv (first conv only — reference
+    model.py:858). The assignment needs gathered + per-node-rotated
+    neighbour features, so the gather stays in the node-minor/lane layout
+    and only the SMALL (C ≤ 6) rotation math runs row-major; the self slot
+    is analytic (rotated self-normal = +z, relative position 0) so
+    self-split graphs need no extra gather."""
+    u, c, w, b = params["u"], params["c"], params["w"], params["b"]
+    dtype = compute_dtype or x_t.dtype
+    in_ch, n = x_t.shape
+    m, out_ch, _ = w.shape
+
+    if lane:
+        nbr_g = gather_neighbors_lane(x_t, adj, adj_t)          # [C, K, N]
+        x_nbr = jnp.transpose(nbr_g, (2, 1, 0))                 # [N, K, C]
+        nbr_t = jnp.concatenate([x_t[:, None, :], nbr_g], axis=1)
+    else:
+        x_row = x_t.T
+        x_nbr = gather_neighbors(x_row, adj, adj_t)             # [N, K, C]
+        cat_nbr = jnp.concatenate([x_row[:, None, :], x_nbr], axis=1)
+        nbr_t = jnp.transpose(cat_nbr, (2, 1, 0))               # [C, K+1, N]
+
+    x_row = x_t.T
+    feats = _rotation_invariant_feats(x_row, x_nbr, self_slot=True)
+    logits = jnp.einsum("nkc,mc->nkm", feats, u) + c            # [N, K+1, M]
+    q = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    q_t = jnp.transpose(q, (2, 1, 0))                           # [M, K+1, N]
+    q_t = (q_t * mult_rows[None, :, :]).astype(dtype)
+
+    z_t = jnp.einsum("mkn,ckn->mcn", q_t, nbr_t.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    z_t = z_t.reshape(m * in_ch, n).astype(dtype)
+    wf = jnp.transpose(w, (1, 0, 2)).reshape(out_ch, m * in_ch)
+    y_t = jnp.einsum("oz,zn->on", wf.astype(dtype), z_t,
+                     preferred_element_type=jnp.float32)
     gate = (jnp.sum(mult_rows, axis=0) > 0).astype(y_t.dtype)
     return y_t + b[:, None] * gate[None, :]
 

@@ -61,9 +61,7 @@ def build_patch_bank(patches: Sequence[FacetPatch], cfg: Config):
     optimizations (``_patch_arrays``: dedupe, self-split, node-minor fused
     rows, lane tables), then stacked with per-level K-width padding
     (``_stack_patch_arrays``). Returns (xs, adjs, gts, adj_ts, mults)."""
-    from facet_graph_convolution_tpu.ops.conv import FacetConvVariant
     from facet_graph_convolution_tpu.training.trainer import (
-        _config_variant,
         _patch_arrays,
         _stack_patch_arrays,
     )
@@ -72,8 +70,7 @@ def build_patch_bank(patches: Sequence[FacetPatch], cfg: Config):
     target = max(p.num_nodes for p in patches)
     target = ((target + group - 1) // group) * group
     padded = [pad_patch_to(p, target) for p in patches]
-    split = _config_variant(cfg) != FacetConvVariant.ROTATION_INVARIANT
-    arrays = [_patch_arrays(p, split_self=split) for p in padded]
+    arrays = [_patch_arrays(p) for p in padded]
     return _stack_patch_arrays(arrays)
 
 

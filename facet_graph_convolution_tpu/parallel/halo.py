@@ -386,14 +386,15 @@ def _sharded_conv(params, x, ops, offsets, axis,
     u, c = params["u"], params["c"]
     in_ch = x.shape[-1]
 
+    if variant == FacetConvVariant.ROTATION_INVARIANT:
+        return _sharded_conv_rotinv(params, x, ops, offsets, axis)
+
     if variant == FacetConvVariant.DEFAULT:
         proj = params["v"]
-    elif variant == FacetConvVariant.TRANSLATION_INVARIANT:
+    else:
         # u·(x_i − x_j) = u·x_i + (−u)·x_j — same identity as the
         # single-chip fused path (ops/conv._facet_conv_fused)
         proj = -u
-    else:
-        raise NotImplementedError("rotation-invariant sharded conv")
 
     # ONE fused halo exchange + gather of [x | v·x]: the assignment
     # projection commutes with both the exchange and the gather, so the
@@ -419,6 +420,37 @@ def _sharded_conv(params, x, ops, offsets, axis,
     y = jnp.einsum("nmc,moc->no", z, params["w"],
                    preferred_element_type=jnp.float32)
     return jnp.where((deg > 0)[:, None], y + params["b"], y)
+
+
+def _sharded_conv_rotinv(params, x, ops, offsets, axis):
+    """Rotation-invariant sharded conv (first conv only — reference
+    model.py:858). The assignment needs gathered + rotated neighbour
+    features: exchange the RAW features, gather, rotate with the OWNED
+    rows' per-node rotations; the self slot is analytic (rotated
+    self-normal = +z, relative position 0) so the self-split partition
+    needs no extra slot (ops/conv._rotation_invariant_feats)."""
+    from facet_graph_convolution_tpu.ops.conv import _rotation_invariant_feats
+    from facet_graph_convolution_tpu.ops.gather import gather_neighbors
+
+    adj, adj_t, send_idx, recv_mask, mult, self_mult = ops[:6]
+    cross_send, cross_mask = ops[6:] if len(ops) > 6 else (None, None)
+    u, c, w, b = params["u"], params["c"], params["w"], params["b"]
+
+    x_ext = _halo_extend(x, send_idx, recv_mask, offsets, axis,
+                         cross_send, cross_mask)
+    x_nbr = gather_neighbors(x_ext, adj, adj_t)          # [n, K', C]
+    feats = _rotation_invariant_feats(x, x_nbr, self_slot=True)
+    logits = jnp.einsum("nkc,mc->nkm", feats, u) + c
+    q = jax.nn.softmax(logits, axis=-1)
+
+    x_all = jnp.concatenate([x[:, None, :], x_nbr], axis=1)
+    mult_all = jnp.concatenate([self_mult[:, None], mult], axis=1)
+    q = q * mult_all[:, :, None]
+    deg = jnp.sum(mult_all, axis=-1)
+    inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1), 0.0)
+    z = jnp.einsum("nkm,nkc->nmc", q, x_all) * inv_deg[:, None, None]
+    y = jnp.einsum("nmc,moc->no", z, w, preferred_element_type=jnp.float32)
+    return jnp.where((deg > 0)[:, None], y + b, y)
 
 
 def _halo_extend_nminor(x_t, send_idx, recv_mask, offsets, axis,
@@ -469,12 +501,14 @@ def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
     in_ch, n = x_t.shape
     m, out_ch, _ = w.shape
 
+    if variant == FacetConvVariant.ROTATION_INVARIANT:
+        return _sharded_conv_nminor_rotinv(params, x_t, ops, offsets, axis,
+                                           compute_dtype=compute_dtype)
+
     if variant == FacetConvVariant.DEFAULT:
         proj = params["v"]
-    elif variant == FacetConvVariant.TRANSLATION_INVARIANT:
-        proj = -u
     else:
-        raise NotImplementedError("rotation-invariant sharded conv")
+        proj = -u
 
     vx_t = proj @ x_t                                    # [M, n]
     ux_t = u @ x_t                                       # [M, n]
@@ -503,19 +537,61 @@ def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
     return y_t + b[:, None] * gate[None, :]
 
 
+def _sharded_conv_nminor_rotinv(params, x_t, ops, offsets, axis,
+                                compute_dtype=None):
+    """Node-minor sharded rotation-invariant conv (first conv only): halo
+    exchange + gather stay node-minor; only the small (C ≤ 6) rotation math
+    runs row-major (see ops/conv._facet_conv_nminor_rotinv)."""
+    from facet_graph_convolution_tpu.ops.conv import _rotation_invariant_feats
+    from facet_graph_convolution_tpu.ops.gather import gather_neighbors
+
+    adj, adj_t, send_idx, recv_mask, mult_rows = ops[:5]
+    cross_send, cross_mask = ops[5:] if len(ops) > 5 else (None, None)
+    u, c, w, b = params["u"], params["c"], params["w"], params["b"]
+    dtype = compute_dtype or x_t.dtype
+    in_ch, n = x_t.shape
+    m, out_ch, _ = w.shape
+
+    x_ext_t = _halo_extend_nminor(x_t, send_idx, recv_mask, offsets, axis,
+                                  cross_send, cross_mask)
+    x_nbr = gather_neighbors(x_ext_t.T, adj, adj_t)       # [n, K', C]
+    x_row = x_t.T
+    feats = _rotation_invariant_feats(x_row, x_nbr, self_slot=True)
+    logits = jnp.einsum("nkc,mc->nkm", feats, u) + c      # [n, K'+1, M]
+    q = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    q_t = jnp.transpose(q, (2, 1, 0))                     # [M, K'+1, n]
+    q_t = (q_t * mult_rows[None, :, :]).astype(dtype)
+
+    nbr_t = jnp.concatenate(
+        [x_t[:, None, :], jnp.transpose(x_nbr, (2, 1, 0))], axis=1
+    )                                                     # [C, K'+1, n]
+    z_t = jnp.einsum("mkn,ckn->mcn", q_t, nbr_t.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    z_t = z_t.reshape(m * in_ch, n).astype(dtype)
+    wf = jnp.transpose(w, (1, 0, 2)).reshape(out_ch, m * in_ch)
+    y_t = jnp.einsum("oz,zn->on", wf.astype(dtype), z_t,
+                     preferred_element_type=jnp.float32).astype(jnp.float32)
+    gate = (jnp.sum(mult_rows, axis=0) > 0).astype(y_t.dtype)
+    return y_t + b[:, None] * gate[None, :]
+
+
 def sharded_unet_forward_local_nminor(
     params, x, level_operands, offsets_per_level, axis,
     coarsening_steps=2, alpha=0.1, multi_scale=False, compute_dtype=None,
+    variant=FacetConvVariant.DEFAULT,
 ):
     """Node-minor U-Net forward on one shard (inside shard_map): mirrors
     ``unet_apply_nminor`` with halo-extended convs and shard-local node-minor
     tree pool/unpool. ``x`` [n, C] in, outputs [n, out] — the [C, n]
     orientation is internal, transposed only at the public boundary."""
+    from facet_graph_convolution_tpu.ops.conv import per_conv_variants
+
     ops0, ops1, ops2 = level_operands
     o0, o1, o2 = offsets_per_level
+    v_first, v_rest = per_conv_variants(variant)
 
-    def conv(p, h_t, ops, offs):
-        return _sharded_conv_nminor(p, h_t, ops, offs, axis,
+    def conv(p, h_t, ops, offs, var=v_rest):
+        return _sharded_conv_nminor(p, h_t, ops, offs, axis, variant=var,
                                     compute_dtype=compute_dtype)
 
     def lin(name, h_t):
@@ -523,7 +599,7 @@ def sharded_unet_forward_local_nminor(
         return p["w"].T @ h_t + p["b"][:, None]
 
     x_t = x.T                                            # [C, n]
-    h1 = lrelu(conv(params["conv1"], x_t, ops0, o0), alpha)
+    h1 = lrelu(conv(params["conv1"], x_t, ops0, o0, var=v_first), alpha)
     p1 = tree_pool_nminor(h1, steps=coarsening_steps, mode="max")
     h2 = lrelu(conv(params["conv2"], p1, ops1, o1), alpha)
     p2 = tree_pool_nminor(h2, steps=coarsening_steps, mode="max")
@@ -590,17 +666,21 @@ def _sharded_face_normals_loss(pred, gt, sample_mask, axis):
 def sharded_unet_forward_local(
     params, x, level_operands, offsets_per_level, axis,
     coarsening_steps=2, alpha=0.1, multi_scale=False,
+    variant=FacetConvVariant.DEFAULT,
 ):
     """U-Net forward on one shard (runs inside shard_map). Mirrors
     ``unet_apply`` layer-for-layer with halo-extended convs and local tree
     pool/unpool (partition alignment keeps sibling groups shard-local)."""
+    from facet_graph_convolution_tpu.ops.conv import per_conv_variants
+
     ops0, ops1, ops2 = level_operands
     o0, o1, o2 = offsets_per_level
+    v_first, v_rest = per_conv_variants(variant)
 
-    def conv(p, h, ops, offs):
-        return _sharded_conv(p, h, ops, offs, axis)
+    def conv(p, h, ops, offs, var=v_rest):
+        return _sharded_conv(p, h, ops, offs, axis, variant=var)
 
-    h1 = lrelu(conv(params["conv1"], x, ops0, o0), alpha)
+    h1 = lrelu(conv(params["conv1"], x, ops0, o0, var=v_first), alpha)
     p1 = tree_pool(h1, steps=coarsening_steps, mode="max")
     h2 = lrelu(conv(params["conv2"], p1, ops1, o1), alpha)
     p2 = tree_pool(h2, steps=coarsening_steps, mode="max")
@@ -647,6 +727,7 @@ def sharded_unet_apply(
     multi_scale: bool = False,
     layout: str = "nminor",
     compute_dtype=None,
+    variant: FacetConvVariant = FacetConvVariant.DEFAULT,
 ):
     """Jittable full forward over the device mesh; returns [N, 3] assembled
     predictions identical (to float tolerance) to the single-device
@@ -687,7 +768,8 @@ def sharded_unet_apply(
         kw = {"compute_dtype": compute_dtype} if nminor else {}
         y = fwd(
             params, x_block, level_ops, offsets, axis,
-            coarsening_steps=coarsening_steps, multi_scale=multi_scale, **kw,
+            coarsening_steps=coarsening_steps, multi_scale=multi_scale,
+            variant=variant, **kw,
         )
         if normalize:
             if multi_scale:
@@ -725,6 +807,9 @@ def make_sharded_train_step(
     compute_dtype = (
         jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
     )
+    from facet_graph_convolution_tpu.training.trainer import _config_variant
+
+    variant = _config_variant(cfg)
 
     in_specs = (
         P(),
@@ -756,11 +841,12 @@ def make_sharded_train_step(
                 y = sharded_unet_forward_local_nminor(
                     params, x_block, level_ops, offsets, axis,
                     coarsening_steps=steps, compute_dtype=compute_dtype,
+                    variant=variant,
                 )
             else:
                 y = sharded_unet_forward_local(
                     params, x_block, level_ops, offsets, axis,
-                    coarsening_steps=steps,
+                    coarsening_steps=steps, variant=variant,
                 )
             y = _sharded_normalize_tensor(y, axis)
             return _sharded_face_normals_loss(y, gt_block, mask_block, axis)

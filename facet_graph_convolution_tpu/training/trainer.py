@@ -373,11 +373,8 @@ def train_normals(
     valid_patches = (
         [_bucketed(p, bucket_align) for p in valid_set.patches] if valid_set else []
     )
-    # the rotation-invariant assignment gathers the self slot's features, so
-    # it keeps the self slot in the adjacency (no self-split)
-    split = _config_variant(cfg) != FacetConvVariant.ROTATION_INVARIANT
-    arrays = [_patch_arrays(p, split_self=split) for p in patches]
-    valid_arrays = [_patch_arrays(p, split_self=split) for p in valid_patches]
+    arrays = [_patch_arrays(p) for p in patches]
+    valid_arrays = [_patch_arrays(p) for p in valid_patches]
 
     rng = np.random.default_rng(cfg.train.seed)
     loss_hist: List[Tuple[float, float]] = []
@@ -493,8 +490,6 @@ def train_normals_streaming(
     ckpt = CheckpointManager(cfg.train.network_path, cfg.train.net_name)
     state, start_step = ckpt.restore(state)
 
-    split = _config_variant(cfg) != FacetConvVariant.ROTATION_INVARIANT
-
     # memoize the per-patch graph compile: prep (dedupe, transpose maps,
     # fused rows, H2D) runs once per patch, not once per draw
     import collections as _collections
@@ -509,8 +504,7 @@ def train_normals_streaming(
         if idx in prepared:
             prepared.move_to_end(idx)
             return prepared[idx]
-        arrays = _patch_arrays(_bucketed(patch, bucket_align),
-                               split_self=split)
+        arrays = _patch_arrays(_bucketed(patch, bucket_align))
         prepared[idx] = arrays
         while len(prepared) > max_prepared:
             prepared.popitem(last=False)
@@ -521,7 +515,7 @@ def train_normals_streaming(
     if valid_set is not None:
         eval_fn = make_normals_eval_step(cfg)
         valid_arrays = [
-            _patch_arrays(_bucketed(p, bucket_align), split_self=split)
+            _patch_arrays(_bucketed(p, bucket_align))
             for p in valid_set.patches
         ]
     loader = PrefetchLoader(
@@ -647,10 +641,8 @@ def train_with_vertices(
     ckpt = CheckpointManager(cfg.train.network_path, cfg.train.net_name)
     state, start_step = ckpt.restore(state)
 
-    split = _config_variant(cfg) != FacetConvVariant.ROTATION_INVARIANT
-
     def vertex_args(p):
-        adjs, adj_ts, mults = _graph_arrays(p.adjs, split_self=split)
+        adjs, adj_ts, mults = _graph_arrays(p.adjs)
         return (
             jnp.asarray(p.inputs),
             adjs,
