@@ -26,19 +26,22 @@ def main():
     args = parser.parse_args()
     cfg = config_from_args(args)
     if args.stream_dir:
+        import jax
+
         from facet_graph_convolution_tpu.training.trainer import (
             train_normals_streaming,
         )
 
-        if args.steps_per_call not in (None, 1):
-            print("note: --steps_per_call is ignored with --stream_dir "
-                  "(streaming dispatches one prefetched step at a time)")
+        steps_per_call = args.steps_per_call
+        if steps_per_call is None:
+            steps_per_call = 100 if jax.default_backend() == "tpu" else 1
         suffix = "WithVertices" if cfg.model.include_vertices else ""
         valid_path = os.path.join(cfg.data.binary_dump_path,
                                   f"validSet{suffix}.npz")
         valid_set = (load_dataset(valid_path)
                      if os.path.isfile(valid_path) else None)
-        train_normals_streaming(cfg, args.stream_dir, valid_set=valid_set)
+        train_normals_streaming(cfg, args.stream_dir, valid_set=valid_set,
+                                steps_per_call=steps_per_call)
         return
     suffix = "WithVertices" if cfg.model.include_vertices else ""
     train_path = os.path.join(cfg.data.binary_dump_path, f"trainingSet{suffix}.npz")

@@ -53,6 +53,10 @@ def save_sharded(ds: MeshDataset, out_dir: str, patches_per_shard: int = 32) -> 
             {
                 "num_patches": num,
                 "patches_per_shard": patches_per_shard,
+                # lets streaming consumers pick ONE bucket for scan-stacking
+                # without touching any shard
+                "max_num_nodes": max((p.num_nodes for p in ds.patches),
+                                     default=0),
                 "shards": shards,
             },
             fh,
@@ -101,6 +105,19 @@ class ShardedDataset:
         si, li = self._locate[i]
         return self._shard(si).patches[li]
 
+    @property
+    def max_num_nodes(self) -> int:
+        """Largest patch size — from the index when present (save_sharded
+        writes it), else computed by touching every shard once."""
+        cached = self.index.get("max_num_nodes")
+        if cached:
+            return int(cached)
+        best = 0
+        for si in range(len(self.index["shards"])):
+            best = max(best, max(p.num_nodes for p in self._shard(si).patches))
+        self.index["max_num_nodes"] = best
+        return best
+
 
 class PrefetchLoader:
     """Background prefetch of prepared training items.
@@ -125,10 +142,18 @@ class PrefetchLoader:
         seed: int = 0,
         depth: int = 2,
         num_items: Optional[int] = None,
+        window: Optional[int] = None,
+        collate: Optional[Callable] = None,
     ):
         self.dataset = dataset
         self.prepare = prepare
         self.num_items = num_items
+        # window mode: gather `window` prepared items and hand the list to
+        # `collate` ON THE LOADER THREAD (stacking + H2D staging overlap the
+        # previous window's device execution); the queue then yields
+        # (collated, count). The final window may be shorter.
+        self.window = window
+        self.collate = collate
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._rng = np.random.default_rng(seed)
@@ -148,22 +173,38 @@ class PrefetchLoader:
     def _run(self):
         produced = 0
         order = self._indices()
+        pending = []
         try:
             while not self._stop.is_set():
                 if self.num_items is not None and produced >= self.num_items:
+                    if pending:
+                        self._emit(self._collate(pending))
                     self._q.put(StopIteration)
                     return
                 idx = next(order)
                 item = self.prepare(self.dataset.patch(idx), idx)
                 produced += 1
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(item, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
+                if self.window is None:
+                    self._emit(item)
+                else:
+                    pending.append(item)
+                    if len(pending) == self.window:
+                        self._emit(self._collate(pending))
+                        pending = []
         except Exception as exc:                     # surface in the consumer
             self._q.put(exc)
+
+    def _collate(self, items):
+        batch = self.collate(items) if self.collate else list(items)
+        return (batch, len(items))
+
+    def _emit(self, item):
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return
+            except queue.Full:
+                continue
 
     def __iter__(self):
         return self

@@ -164,7 +164,8 @@ def _bucketed(patch: FacetPatch, align: int) -> FacetPatch:
 
 def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
                   split_self: bool = True, nminor: bool = True,
-                  pallas: bool = False, lane: bool = True):
+                  pallas: bool = False, lane: bool = True,
+                  to_device: bool = True):
     """Compile the patch graph for the train step: dedupe duplicate K-list
     slots into multiplicity weights, split the self slot out (its features
     need no gather), and build transpose slot maps for the scatter-free
@@ -176,19 +177,21 @@ def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
     self-split form ``(mult_nbr, self_mult)``; ``split_self=False`` the
     plain dedup form (required for the rotation-invariant variant, whose
     assignment gathers the self slot's features)."""
-    x = jnp.asarray(patch.inputs)
-    gt = jnp.asarray(patch.gt_normals)
+    conv = jnp.asarray if to_device else np.asarray
+    x = conv(patch.inputs)
+    gt = conv(patch.gt_normals)
     if not optimize_graph:
-        return x, tuple(jnp.asarray(a) for a in patch.adjs), gt, None, None
+        return x, tuple(conv(a) for a in patch.adjs), gt, None, None
     adjs, adj_ts, mults = _graph_arrays(
         patch.adjs, split_self=split_self, nminor=nminor, pallas=pallas,
-        lane=lane,
+        lane=lane, to_device=to_device,
     )
     return x, adjs, gt, adj_ts, mults
 
 
 def _graph_arrays(adjs_raw, split_self: bool = True, nminor: bool = True,
-                  pallas: bool = False, lane: bool = True):
+                  pallas: bool = False, lane: bool = True,
+                  to_device: bool = True):
     """Per-level optimized graph arrays ``(adjs, adj_ts, mults)`` from raw
     one-indexed K-lists — the forms :func:`_apply_model` dispatches on.
     ``lane`` (node-minor only, the default) emits transposed [K, N] K-lists
@@ -202,6 +205,7 @@ def _graph_arrays(adjs_raw, split_self: bool = True, nminor: bool = True,
         transpose_adjacency,
     )
 
+    conv = jnp.asarray if to_device else np.asarray
     adjs, adj_ts, mults = [], [], []
     for a in adjs_raw:
         a_u, mult = dedupe_klist(np.asarray(a))
@@ -215,29 +219,29 @@ def _graph_arrays(adjs_raw, split_self: bool = True, nminor: bool = True,
                 adj_sm, adj_t_sm, rows = slot_major_arrays(
                     a_u, mult_n, self_mult
                 )
-                adjs.append(jnp.asarray(adj_sm))
-                adj_ts.append(jnp.asarray(adj_t_sm))
-                mults.append({"pallas_rows": jnp.asarray(rows)})
+                adjs.append(conv(adj_sm))
+                adj_ts.append(conv(adj_t_sm))
+                mults.append({"pallas_rows": conv(rows)})
                 continue
             if nminor:
-                rows = jnp.asarray(fused_mult_rows(mult_n, self_mult))
+                rows = conv(fused_mult_rows(mult_n, self_mult))
                 if lane:
                     from facet_graph_convolution_tpu.graph.convert import (
                         lane_tables,
                     )
 
                     adjT, adjT_t = lane_tables(a_u)
-                    adjs.append(jnp.asarray(adjT))
-                    adj_ts.append(jnp.asarray(adjT_t))
+                    adjs.append(conv(adjT))
+                    adj_ts.append(conv(adjT_t))
                     mults.append({"rows_lane": rows})
                     continue
                 mults.append({"rows": rows})
             else:
-                mults.append((jnp.asarray(mult_n), jnp.asarray(self_mult)))
+                mults.append((conv(mult_n), conv(self_mult)))
         else:
-            mults.append(jnp.asarray(mult))
-        adjs.append(jnp.asarray(a_u))
-        adj_ts.append(jnp.asarray(transpose_adjacency(a_u)))
+            mults.append(conv(mult))
+        adjs.append(conv(a_u))
+        adj_ts.append(conv(transpose_adjacency(a_u)))
     return tuple(adjs), tuple(adj_ts), tuple(mults)
 
 
@@ -273,15 +277,22 @@ def _apply_model(params, x, adjs, adj_ts, mults, *, steps, variant, alpha,
     )
 
 
-def _stack_patch_arrays(arrays):
+def _stack_patch_arrays(arrays, width_state=None, to_device: bool = True):
     """Stack per-patch arrays for on-device selection: all patches must share
     one fine-node bucket; per-patch K'/K_t widths are zero-padded to the max
-    (extra zero slots are inert: zero-row gather + zero multiplicity)."""
-    xs = jnp.stack([a[0] for a in arrays])
-    gts = jnp.stack([a[2] for a in arrays])
+    (extra zero slots are inert: zero-row gather + zero multiplicity).
+
+    ``width_state`` (a mutable dict) makes widths MONOTONE across calls:
+    each 2-D leaf pads to the running max of every window seen so far, so
+    streaming windows converge to one stable compiled shape after the widest
+    patch has been visited (a couple of recompiles at most — K widths are
+    bounded by the K=23 cap)."""
+    npstack = np.stack if not to_device else (lambda ms: jnp.asarray(np.stack(ms)))
+    xs = npstack([np.asarray(a[0]) for a in arrays])
+    gts = npstack([np.asarray(a[2]) for a in arrays])
     levels = len(arrays[0][1])
 
-    def stack_padded(get):
+    def stack_padded(get, tag):
         out = []
         for lvl in range(levels):
             entries = [get(a)[lvl] for a in arrays]
@@ -291,24 +302,29 @@ def _stack_patch_arrays(arrays):
             treedef = jax.tree.structure(entries[0])
             leaf_rows = [jax.tree.leaves(e) for e in entries]
             stacked = []
-            for parts in zip(*leaf_rows):
+            for li, parts in enumerate(zip(*leaf_rows)):
                 mats = [np.asarray(p) for p in parts]
                 if mats[0].ndim == 2:
                     # K-ish widths vary per patch on either axis (adj/adj_t/
                     # mult pad dim 1; node-minor mult_rows pad dim 0)
                     d0 = max(m.shape[0] for m in mats)
                     d1 = max(m.shape[1] for m in mats)
+                    if width_state is not None:
+                        key = (tag, lvl, li)
+                        p0, p1 = width_state.get(key, (0, 0))
+                        d0, d1 = max(d0, p0), max(d1, p1)
+                        width_state[key] = (d0, d1)
                     mats = [
                         np.pad(m, ((0, d0 - m.shape[0]), (0, d1 - m.shape[1])))
                         for m in mats
                     ]
-                stacked.append(jnp.asarray(np.stack(mats)))
+                stacked.append(npstack(mats))
             out.append(jax.tree.unflatten(treedef, stacked))
         return tuple(out)
 
-    adjs = stack_padded(lambda a: a[1])
-    adj_ts = stack_padded(lambda a: a[3])
-    mults = stack_padded(lambda a: a[4])
+    adjs = stack_padded(lambda a: a[1], "adj")
+    adj_ts = stack_padded(lambda a: a[3], "adj_t")
+    mults = stack_padded(lambda a: a[4], "mult")
     return xs, adjs, gts, adj_ts, mults
 
 
@@ -465,6 +481,49 @@ def train_normals(
     return state, hist
 
 
+def make_windowed_train_step(step_fn):
+    """Scan a train step over a window of DEVICE-RESIDENT prepared patches —
+    ONE dispatch per window. ``items`` is a tuple of per-patch array tuples
+    (same shapes); they are stacked ON DEVICE (HBM-speed copy, no re-upload)
+    and scanned, giving the streaming path the in-memory scanned trainer's
+    wall clock once each distinct patch has been uploaded once."""
+
+    @jax.jit
+    def run(state, items, keys):
+        xs, adjs, gts, adj_ts, mults = jax.tree.map(
+            lambda *ts: jnp.stack(ts), *items
+        )
+
+        def body(state, sel):
+            x, adj, gt, a_t, m, key = sel
+            return step_fn(state, x, adj, gt, key, a_t, m)
+
+        return jax.lax.scan(body, state, (xs, adjs, gts, adj_ts, mults, keys))
+
+    return run
+
+
+def _leaf_dims(arrays):
+    """2-D leaf shapes of a prepared-patch tuple, in flatten order."""
+    return [np.asarray(l).shape for l in jax.tree.leaves(arrays)
+            if np.asarray(l).ndim == 2]
+
+
+def _pad_to_dims(arrays, dims):
+    """Zero-pad every 2-D leaf to the given running-max dims (extra zero
+    slots are inert: zero-row gather + zero multiplicity)."""
+    leaves, treedef = jax.tree.flatten(arrays)
+    out, di = [], 0
+    for l in leaves:
+        m = np.asarray(l)
+        if m.ndim == 2:
+            d0, d1 = dims[di]
+            di += 1
+            m = np.pad(m, ((0, d0 - m.shape[0]), (0, d1 - m.shape[1])))
+        out.append(m)
+    return jax.tree.unflatten(treedef, out)
+
+
 def train_normals_streaming(
     cfg: Config,
     shard_dir: str,
@@ -472,12 +531,20 @@ def train_normals_streaming(
     num_iterations: Optional[int] = None,
     bucket_align: int = 1024,
     prefetch_depth: int = 2,
+    steps_per_call: int = 1,
 ) -> Tuple[TrainState, np.ndarray]:
     """Normals training from a sharded on-disk dataset with host-overlap
     prefetch (data/stream.py): patches load lazily from npz shards, graph
     prep + H2D staging run on a background thread, and the device consumes
     a double-buffered queue — the scale-out replacement for loading the
-    whole pickled set up front (reference train.py:1901-1906)."""
+    whole pickled set up front (reference train.py:1901-1906).
+
+    ``steps_per_call > 1`` turns on the windowed scan path: the loader
+    thread stacks windows of prepared patches (every patch padded to the
+    dataset-wide bucket so windows share ONE compiled shape; K-widths are
+    made monotone by ``_stack_patch_arrays(width_state=…)``) and stages each
+    window to the device while the previous window trains; the consumer runs
+    the whole window in one ``lax.scan`` dispatch."""
     from facet_graph_convolution_tpu.data.stream import (
         PrefetchLoader,
         ShardedDataset,
@@ -490,6 +557,9 @@ def train_normals_streaming(
     ckpt = CheckpointManager(cfg.train.network_path, cfg.train.net_name)
     state, start_step = ckpt.restore(state)
 
+    ds = ShardedDataset(shard_dir)
+    windowed = steps_per_call > 1
+
     # memoize the per-patch graph compile: prep (dedupe, transpose maps,
     # fused rows, H2D) runs once per patch, not once per draw
     import collections as _collections
@@ -497,20 +567,75 @@ def train_normals_streaming(
     prepared: "_collections.OrderedDict" = _collections.OrderedDict()
     max_prepared = 64
 
-    def prepare(patch, idx):
-        # keyed by the global patch index — patch OBJECTS are re-created when
-        # the shard LRU evicts and reloads, and a freed object's id() can be
-        # reused, so identity is not a safe key
-        if idx in prepared:
-            prepared.move_to_end(idx)
-            return prepared[idx]
-        arrays = _patch_arrays(_bucketed(patch, bucket_align))
-        prepared[idx] = arrays
-        while len(prepared) > max_prepared:
-            prepared.popitem(last=False)
-        return arrays
+    if windowed:
+        # one dataset-wide bucket so every window compiles to one shape;
+        # K-ish widths are running maxima — a width growth bumps `version`
+        # and stale device copies re-pad + re-upload once
+        target = bucket_size(ds.max_num_nodes, bucket_align)
+        dims: List = []
+        version = [0]
+        dev_memo: "_collections.OrderedDict" = _collections.OrderedDict()
 
-    ds = ShardedDataset(shard_dir)
+        def prepare(patch, idx):
+            if idx not in prepared:
+                prepared[idx] = _patch_arrays(pad_patch_to(patch, target),
+                                              to_device=False)
+                while len(prepared) > max_prepared:
+                    prepared.popitem(last=False)
+            else:
+                prepared.move_to_end(idx)
+            grew = False
+            for di, shp in enumerate(_leaf_dims(prepared[idx])):
+                if di == len(dims):
+                    dims.append(shp)
+                    grew = True
+                elif shp[0] > dims[di][0] or shp[1] > dims[di][1]:
+                    dims[di] = (max(shp[0], dims[di][0]),
+                                max(shp[1], dims[di][1]))
+                    grew = True
+            if grew:
+                version[0] += 1
+            return idx
+
+        def collate(idxs):
+            # upload each patch's padded arrays ONCE (loader thread, async
+            # H2D overlaps the previous window's device execution); windows
+            # then reference device-resident arrays
+            items = []
+            for idx in idxs:
+                v, dev = dev_memo.get(idx, (-1, None))
+                if v != version[0]:
+                    if idx not in prepared:
+                        # host copy evicted since prepare(): rebuild (rare —
+                        # only when a width bump outlives the host LRU)
+                        prepared[idx] = _patch_arrays(
+                            pad_patch_to(ds.patch(idx), target),
+                            to_device=False,
+                        )
+                    dev = jax.device_put(_pad_to_dims(prepared[idx], dims))
+                    dev_memo[idx] = (version[0], dev)
+                    while len(dev_memo) > max_prepared:
+                        dev_memo.popitem(last=False)
+                else:
+                    dev_memo.move_to_end(idx)
+                items.append(dev)
+            return tuple(items)
+    else:
+        collate = None
+
+        def prepare(patch, idx):
+            # keyed by the global patch index — patch OBJECTS are re-created
+            # when the shard LRU evicts and reloads, and a freed object's
+            # id() can be reused, so identity is not a safe key
+            if idx in prepared:
+                prepared.move_to_end(idx)
+                return prepared[idx]
+            arrays = _patch_arrays(_bucketed(patch, bucket_align))
+            prepared[idx] = arrays
+            while len(prepared) > max_prepared:
+                prepared.popitem(last=False)
+            return arrays
+
     valid_arrays = []
     if valid_set is not None:
         eval_fn = make_normals_eval_step(cfg)
@@ -521,26 +646,55 @@ def train_normals_streaming(
     loader = PrefetchLoader(
         ds, prepare, seed=cfg.train.seed, depth=prefetch_depth,
         num_items=iters,
+        window=steps_per_call if windowed else None,
+        collate=collate,
     )
+    run_window = make_windowed_train_step(step_fn) if windowed else None
     loss_hist: List[Tuple[float, float]] = []
     smooth_loss, smooth_n, last_valid = 0.0, 0, float("nan")
     t_start = time.time()
     aborted = False
-    try:
-        for it, (x, adjs, gt, adj_ts, mults) in enumerate(loader):
+
+    def validate(key):
+        vloss = 0.0
+        for vx, vadjs, vgt, vts, vm in valid_arrays:
             key, sub = jax.random.split(key)
-            state, loss = step_fn(state, x, adjs, gt, sub, adj_ts, mults)
-            smooth_loss += float(loss)
-            smooth_n += 1
-            if valid_arrays and it % cfg.train.valid_every == 0:
-                vloss = 0.0
-                for vx, vadjs, vgt, vts, vm in valid_arrays:
-                    key, sub = jax.random.split(key)
-                    vloss += float(
-                        eval_fn(state.params, vx, vadjs, vgt, sub, vts, vm)
-                    )
-                last_valid = vloss / len(valid_arrays)
-            if it % cfg.train.eval_every == 0:
+            vloss += float(eval_fn(state.params, vx, vadjs, vgt, sub, vts, vm))
+        return vloss / len(valid_arrays), key
+
+    try:
+        it = 0
+        for item in loader:
+            if windowed:
+                items, count = item
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, count)
+                if count == steps_per_call:
+                    state, losses = run_window(state, items, keys)
+                    losses = np.asarray(losses)
+                else:
+                    # final partial window: per-step on its items
+                    rem = []
+                    for j in range(count):
+                        x, adj, gt, a_t, m = items[j]
+                        state, loss = step_fn(state, x, adj, gt, keys[j],
+                                              a_t, m)
+                        rem.append(float(loss))
+                    losses = np.asarray(rem)
+                it += count
+                smooth_loss += float(losses.sum())
+                smooth_n += count
+            else:
+                x, adjs, gt, adj_ts, mults = item
+                key, sub = jax.random.split(key)
+                state, loss = step_fn(state, x, adjs, gt, sub, adj_ts, mults)
+                it += 1
+                smooth_loss += float(loss)
+                smooth_n += 1
+            stride = steps_per_call if windowed else 1
+            if valid_arrays and it % cfg.train.valid_every < stride:
+                last_valid, key = validate(key)
+            if it % cfg.train.eval_every < stride:
                 avg = smooth_loss / max(smooth_n, 1)
                 loss_hist.append((avg, last_valid))
                 print(f"iter {it}: train loss {avg:.4f} "
@@ -550,7 +704,7 @@ def train_normals_streaming(
                     aborted = True
                     break
                 smooth_loss, smooth_n = 0.0, 0
-            if it > 0 and it % cfg.train.save_every == 0:
+            if it > 0 and it % cfg.train.save_every < stride:
                 ckpt.save(start_step + it, state)
     finally:
         loader.close()

@@ -96,3 +96,35 @@ def test_streaming_training_converges(tmp_path):
     assert hist[-1, 0] < hist[0, 0]
     import os
     assert os.path.isfile(str(tmp_path / "net") + "/stream.csv")
+
+
+def test_streaming_windowed_scan_path(tmp_path):
+    """steps_per_call > 1: windows of prepared patches are stacked on the
+    loader thread and scanned in one dispatch; partial final window runs
+    per-step; artifacts match the per-step contract."""
+    from facet_graph_convolution_tpu.training.trainer import (
+        train_normals_streaming,
+    )
+
+    ds = _dataset(3)
+    shard_dir = tmp_path / "shards"
+    save_sharded(ds, str(shard_dir), patches_per_shard=2)
+    cfg = default_config().replace(
+        train={
+            "network_path": str(tmp_path / "net") + "/",
+            "net_name": "streamw",
+            "eval_every": 8,
+        }
+    )
+    # 18 = 2 full windows of 8 + a partial window of 2
+    state, hist = train_normals_streaming(
+        cfg, str(shard_dir), num_iterations=18, bucket_align=256,
+        steps_per_call=8,
+    )
+    assert hist.ndim == 2 and hist.shape[1] == 2
+    assert np.isfinite(hist[:, 0]).all()
+    import os
+    assert os.path.isfile(str(tmp_path / "net") + "/streamw.csv")
+    # the index records the dataset-wide bucket source
+    sharded = ShardedDataset(str(shard_dir))
+    assert sharded.max_num_nodes == max(p.num_nodes for p in ds.patches)
