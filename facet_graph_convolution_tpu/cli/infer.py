@@ -24,6 +24,10 @@ def main():
                         help="node bucket size for --export_forward")
     parser.add_argument("--export_widths", type=str, default="23,23,23",
                         help="per-level adjacency widths for --export_forward")
+    parser.add_argument("--bake_params", action="store_true",
+                        help="freeze weights into the exported executable "
+                             "(default: params are a call argument, so "
+                             "checkpoints swap without re-export)")
     args = parser.parse_args()
     cfg = config_from_args(args)
 
@@ -34,12 +38,15 @@ def main():
             save_exported,
         )
 
-        params = _restore_params(cfg, multi_scale=False)
+        multi = cfg.model.include_vertices
+        params = _restore_params(cfg, multi_scale=multi)
         widths = [int(w) for w in args.export_widths.split(",")]
-        data = export_forward(cfg, params, args.export_nodes, widths)
+        data = export_forward(cfg, params, args.export_nodes, widths,
+                              multi_scale=multi, bake_params=args.bake_params)
         save_exported(args.export_forward, data)
-        print(f"Exported compiled forward → {args.export_forward} "
-              f"({len(data)} bytes)")
+        print(f"Exported compiled {'multi-scale ' if multi else ''}forward → "
+              f"{args.export_forward} ({len(data)} bytes, params "
+              f"{'baked' if args.bake_params else 'as argument'})")
         return
 
     input_dir = args.input_dir or cfg.data.test_data_path
@@ -48,8 +55,10 @@ def main():
         from facet_graph_convolution_tpu.inference.driver import _restore_params
         from facet_graph_convolution_tpu.inference.serving import InferenceServer
 
-        params = _restore_params(cfg, multi_scale=False)
-        server = InferenceServer(cfg, params=params)
+        with_verts = cfg.model.include_vertices
+        params = _restore_params(cfg, multi_scale=with_verts)
+        server = InferenceServer(cfg, params=params,
+                                 include_vertices=with_verts)
         paths = sorted(glob.glob(os.path.join(input_dir, "*.obj")))
         meshes = []
         for p in paths:
@@ -57,9 +66,10 @@ def main():
             meshes.append((v, f))
         results = server.denoise_batch(meshes)
         os.makedirs(cfg.eval.results_path, exist_ok=True)
-        for p, (v, f), (refined, _) in zip(paths, meshes, results):
+        for p, (v, f), res in zip(paths, meshes, results):
             name = os.path.splitext(os.path.basename(p))[0]
             out = os.path.join(cfg.eval.results_path, name + "_denoised.obj")
+            refined = res["points"] if with_verts else res[0]
             write_obj(refined, f, out)
             print(f"{name}: {refined.shape[0]} vertices → {out}")
     else:

@@ -126,7 +126,8 @@ def test_preprocess_train_infer_metrics(data_tree):
     fn = load_forward(data)
     import jax.numpy as jnp
 
-    y = np.asarray(fn(jnp.asarray(patch.inputs)[None],
+    # default export takes params as the first call argument
+    y = np.asarray(fn(state.params, jnp.asarray(patch.inputs)[None],
                       *[jnp.asarray(a)[None] for a in patch.adjs]))[0]
     assert y.shape == (patch.num_nodes, 3)
     assert np.isfinite(y).all()

@@ -67,7 +67,9 @@ def test_export_roundtrip(tmp_path):
     n = patch.num_nodes
     widths = [a.shape[1] for a in patch.adjs]
 
-    data = export_forward(cfg, state.params, n, widths, batch=1)
+    # baked mode: a self-contained artifact with weights as constants
+    data = export_forward(cfg, state.params, n, widths, batch=1,
+                          bake_params=True)
     assert isinstance(data, (bytes, bytearray)) and len(data) > 1000
     path = tmp_path / "forward.jaxexport"
     path.write_bytes(data)
@@ -90,3 +92,88 @@ def test_export_roundtrip(tmp_path):
         )
     )
     np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+
+def test_server_with_vertices_matches_driver():
+    """Batched with-vertices serving reproduces infer_with_vertices (the
+    per-mesh driver) to float tolerance."""
+    from facet_graph_convolution_tpu.data.dataset import InferenceMesh
+    from facet_graph_convolution_tpu.inference.driver import infer_with_vertices
+
+    cfg = _cfg().replace(eval={"ms_solver_iterations": (8, 2, 2)})
+    state, _ = create_train_state(jax.random.PRNGKey(0), cfg, multi_scale=True)
+    server = InferenceServer(cfg, params=state.params, bucket_align=256,
+                             include_vertices=True)
+    meshes = _meshes()
+    out = server.denoise_batch(meshes)
+    assert len(out) == 2
+    for (v, f), res in zip(meshes, out):
+        assert res["points"].shape == v.shape
+        assert res["fine_normals"].shape == (f.shape[0], 3)
+
+    mesh = InferenceMesh(
+        max_patch_size=cfg.data.max_patch_size,
+        coarsening_steps=cfg.model.coarsening_steps,
+        coarsening_levels=cfg.model.coarsening_levels,
+        k_faces=cfg.data.k_faces,
+        min_patch_size=cfg.data.min_patch_size,
+        seed=0,                       # match the server's coarsening seed
+    )
+    mesh.add_mesh_with_vertices(*meshes[0])
+    ref = infer_with_vertices(mesh, cfg, params=state.params)
+    for key in ("points", "points_mid", "points_coarse", "fine_normals"):
+        np.testing.assert_allclose(out[0][key], ref[key], atol=2e-4,
+                                   err_msg=key)
+
+
+def test_export_params_as_arguments(tmp_path):
+    """Default export takes params as a call argument: a new checkpoint
+    swaps in without re-exporting."""
+    cfg = _cfg()
+    state, _ = create_train_state(jax.random.PRNGKey(0), cfg)
+    data = export_forward(cfg, state.params, num_nodes=256,
+                          adj_widths=(23, 23, 23))
+    fn = load_forward(data)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 256, 6)).astype(np.float32)
+    adj0 = np.zeros((1, 256, 23), np.int32)
+    adj0[0, :, 0] = np.arange(256) + 1
+    adj1 = np.zeros((1, 64, 23), np.int32)
+    adj1[0, :, 0] = np.arange(64) + 1
+    adj2 = np.zeros((1, 16, 23), np.int32)
+    adj2[0, :, 0] = np.arange(16) + 1
+
+    y1 = np.asarray(fn(state.params, x, adj0, adj1, adj2))
+    # swap in different params WITHOUT re-exporting
+    params2 = jax.tree.map(lambda w: w * 1.5, state.params)
+    y2 = np.asarray(fn(params2, x, adj0, adj1, adj2))
+    assert y1.shape == (1, 256, 3)
+    assert not np.allclose(y1, y2)
+
+    # oracle: direct forward with the swapped params
+    from facet_graph_convolution_tpu.models.unet import unet_apply
+    from facet_graph_convolution_tpu.ops.normalization import normalize_tensor
+
+    ref = normalize_tensor(unet_apply(
+        params2, jnp.asarray(x[0]),
+        (jnp.asarray(adj0[0]), jnp.asarray(adj1[0]), jnp.asarray(adj2[0])),
+    ))
+    np.testing.assert_allclose(y2[0], np.asarray(ref), atol=1e-5)
+
+
+def test_export_multiscale_heads(tmp_path):
+    cfg = _cfg()
+    state, _ = create_train_state(jax.random.PRNGKey(0), cfg, multi_scale=True)
+    data = export_forward(cfg, state.params, num_nodes=256,
+                          adj_widths=(23, 23, 23), multi_scale=True)
+    fn = load_forward(data)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 256, 6)).astype(np.float32)
+    adj0 = np.zeros((1, 256, 23), np.int32); adj0[0, :, 0] = np.arange(256) + 1
+    adj1 = np.zeros((1, 64, 23), np.int32); adj1[0, :, 0] = np.arange(64) + 1
+    adj2 = np.zeros((1, 16, 23), np.int32); adj2[0, :, 0] = np.arange(16) + 1
+    y0, y1, y2 = fn(state.params, x, adj0, adj1, adj2)
+    assert np.asarray(y0).shape == (1, 256, 3)
+    assert np.asarray(y1).shape == (1, 64, 3)
+    assert np.asarray(y2).shape == (1, 16, 3)
