@@ -43,4 +43,5 @@ from facet_graph_convolution_tpu.parallel.vertex_halo import (  # noqa: F401
 from facet_graph_convolution_tpu.parallel.vertex_train import (  # noqa: F401
     make_sharded_vertex_train_step,
     prepare_vertex_training,
+    train_with_vertices_sharded,
 )

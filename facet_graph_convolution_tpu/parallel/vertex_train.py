@@ -171,11 +171,14 @@ def make_sharded_vertex_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(params)
         return jax.lax.pmean(loss, axis), jax.lax.pmean(grads, axis)
 
-    def step(state: TrainState, arrays, idx0, idx1, key):
+    def _rot(key):
+        if key is None or not augment:
+            return jnp.eye(3, dtype=jnp.float32)
         rot_key, _ = jax.random.split(key)
-        rot = (
-            random_rotation(rot_key) if augment else jnp.eye(3, dtype=jnp.float32)
-        )
+        return random_rotation(rot_key)
+
+    @jax.jit
+    def _step(state: TrainState, arrays, idx0, idx1, rot):
         loss, grads = loss_and_grads(
             state.params, arrays["x"], arrays["vertices"], arrays["v_mask"],
             arrays["gt"], arrays["gt_mask"], operands, sop_dev, idx0, idx1, rot,
@@ -184,4 +187,108 @@ def make_sharded_vertex_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
-    return jax.jit(step)
+    @jax.jit
+    def _eval(params, arrays, idx0, idx1):
+        loss, _ = loss_and_grads(
+            params, arrays["x"], arrays["vertices"], arrays["v_mask"],
+            arrays["gt"], arrays["gt_mask"], operands, sop_dev, idx0, idx1,
+            jnp.eye(3, dtype=jnp.float32),
+        )
+        return loss
+
+    def step(state: TrainState, arrays, idx0, idx1, key):
+        return _step(state, arrays, idx0, idx1, _rot(key))
+
+    step.eval = _eval
+    return step
+
+
+def train_with_vertices_sharded(
+    cfg: Config,
+    patch: FacetPatch,
+    mesh: Mesh,
+    num_iterations: int,
+    valid_patches: Optional[Sequence[FacetPatch]] = None,
+    axis: str = "graph",
+    seed: int = 0,
+    log_every: int = 10,
+    checkpoint: bool = False,
+):
+    """Graph-parallel end-to-end vertex training DRIVER (the sharded
+    counterpart of ``training.trainer.train_with_vertices`` / reference
+    ``trainAccuracyNet``, train.py:636-914): one large edge-partitioned
+    mesh, chamfer-through-solver loss each step, rotation augmentation,
+    Orbax checkpoint/resume, periodic validation over ``valid_patches``
+    (each partitioned over the same mesh), loss-history CSV, NaN abort."""
+    import os
+
+    from facet_graph_convolution_tpu.training.checkpoint import CheckpointManager
+    from facet_graph_convolution_tpu.training.trainer import create_train_state
+
+    n_dev = mesh.shape[axis]
+    arrays, conv_part, solver_ops = prepare_vertex_training(patch, cfg, n_dev)
+    key = jax.random.PRNGKey(seed)
+    state, tx = create_train_state(key, cfg, multi_scale=True)
+    step = make_sharded_vertex_train_step(
+        tx, cfg, conv_part, solver_ops, mesh, axis=axis,
+        augment=cfg.train.augment_rotations,
+    )
+
+    ckpt = CheckpointManager(cfg.train.network_path, cfg.train.net_name) if checkpoint else None
+    start_step = 0
+    if ckpt is not None:
+        state, start_step = ckpt.restore(state)
+        if start_step:
+            from jax.sharding import NamedSharding
+
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    valid = []
+    for vp in valid_patches or []:
+        v_arrays, v_part, v_sops = prepare_vertex_training(vp, cfg, n_dev)
+        v_step = make_sharded_vertex_train_step(
+            tx, cfg, v_part, v_sops, mesh, axis=axis, augment=False,
+        )
+        valid.append((v_step.eval, v_arrays))
+
+    samples = cfg.train.chamfer_samples
+    rng = np.random.default_rng(seed)
+    losses = []
+    loss_hist = []
+    last_valid = float("nan")
+    save_every = min(cfg.train.save_every, 500)   # reference uses 500 here
+    with mesh:
+        for it in range(num_iterations):
+            idx0 = jnp.asarray(rng.integers(0, arrays["num_vertices"], samples))
+            idx1 = jnp.asarray(rng.integers(0, arrays["num_gt"], samples))
+            key, sub = jax.random.split(key)
+            state, loss = step(state, arrays, idx0, idx1, sub)
+            losses.append(float(loss))
+            if valid and it % cfg.train.valid_every == 0:
+                vloss = 0.0
+                for eval_fn, v_arrays in valid:
+                    vi0 = jnp.asarray(
+                        rng.integers(0, v_arrays["num_vertices"], samples))
+                    vi1 = jnp.asarray(rng.integers(0, v_arrays["num_gt"], samples))
+                    vloss += float(eval_fn(state.params, v_arrays, vi0, vi1))
+                last_valid = vloss / len(valid)
+            if it % log_every == 0:
+                avg = float(np.mean(losses[-log_every:]))
+                loss_hist.append((avg, last_valid))
+                print(f"iter {it}: sharded vertex loss {avg:.4f}"
+                      + (f" valid {last_valid:.4f}" if valid else ""))
+                if not np.isfinite(avg):
+                    print("NaN training loss — aborting")
+                    break
+            if ckpt is not None and it > 0 and it % save_every == 0:
+                ckpt.save(start_step + it, state)
+    if ckpt is not None:
+        ckpt.save(start_step + num_iterations, state)
+        ckpt.close()
+    if jax.process_index() == 0 and loss_hist:
+        os.makedirs(cfg.train.network_path, exist_ok=True)
+        csv_path = os.path.join(cfg.train.network_path,
+                                cfg.train.net_name + ".csv")
+        with open(csv_path, "ab") as fh:
+            np.savetxt(fh, np.asarray(loss_hist, np.float64), delimiter=",")
+    return state, np.asarray(losses)

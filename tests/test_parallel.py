@@ -593,3 +593,41 @@ def test_sharded_vertex_training_matches_and_learns():
             losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_sharded_vertex_driver_contract(tmp_path):
+    """train_with_vertices_sharded: full driver contract (augment, Orbax
+    checkpoint/resume, validation sweep, CSV) over the 8-shard mesh."""
+    from facet_graph_convolution_tpu.data.dataset import TrainingSet
+    from facet_graph_convolution_tpu.parallel.vertex_train import (
+        train_with_vertices_sharded,
+    )
+
+    v, f = make_icosphere(2)
+    rng = np.random.default_rng(3)
+    ds = TrainingSet(
+        max_patch_size=10**9, coarsening_steps=2, coarsening_levels=3,
+        k_faces=23, seed=0,
+    )
+    for noise in (0.02, 0.01):
+        noisy = (v + rng.normal(scale=noise, size=v.shape)).astype(np.float32)
+        ds.add_mesh_with_vertices(noisy, f, gt_vertices=v)
+
+    cfg = default_config().replace(
+        model={"channels": (8, 16, 32), "num_filters": 4, "fc_channels": 32},
+        eval={"ms_solver_iterations": (4, 2, 2)},
+        train={"chamfer_samples": 64, "network_path": str(tmp_path),
+               "net_name": "vshard", "valid_every": 4, "save_every": 600},
+    )
+    mesh = make_mesh((1, D), ("data", "graph"))
+    state, losses = train_with_vertices_sharded(
+        cfg, ds.patches[0], mesh, num_iterations=6,
+        valid_patches=[ds.patches[1]], log_every=3, checkpoint=True,
+    )
+    assert np.isfinite(losses).all() and losses.shape[0] == 6
+    assert (tmp_path / "vshard.csv").exists()
+    # resume restores the saved step counter
+    state2, _ = train_with_vertices_sharded(
+        cfg, ds.patches[0], mesh, num_iterations=2, checkpoint=True,
+    )
+    assert int(state2.step) >= 6
