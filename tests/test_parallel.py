@@ -67,7 +67,8 @@ def test_partition_structure(sphere_patch):
         raw = np.count_nonzero(adj, axis=-1).reshape(D, lvl.block)
         np.testing.assert_array_equal(deg, raw)
         # every local adjacency entry points inside the extended index space
-        ext = lvl.block + len(lvl.offsets) * lvl.halo_size
+        # (intra-host ring region + batched all_to_all cross region)
+        ext = lvl.block + len(lvl.offsets) * lvl.halo_size + D * lvl.cross_halo
         assert lvl.local_adj.max() <= ext
         assert lvl.local_adj.min() >= 0
 
@@ -375,9 +376,13 @@ def test_partition_handles_non_banded_graphs(rng):
             adj[i, 1 : 1 + deg] = rng.choice(sz, size=deg, replace=False) + 1
         adjs.append(adj)
         sz //= 4
-    part = build_partition(adjs, D)
+    # pin the ring form: this test exercises far ppermute offsets (auto
+    # would batch this all-pairs pattern into the a2a form)
+    part = build_partition(adjs, D, exchange="rings")
     # far offsets present (not just ±1)
     assert max(abs(d) for d in part.levels[0].offsets) > 1
+    auto = build_partition(adjs, D)
+    assert auto.levels[0].cross_send is not None   # auto picked the a2a form
 
     params = init_unet(jax.random.PRNGKey(0), in_channels=6,
                        channels=(8, 16, 32), num_filters=4, fc_channels=32)
