@@ -158,15 +158,22 @@ def measure_sharded(steps=20, repeats=3, subdiv=5, num_shards=None):
         0, patch.num_nodes, size=cfg.train.loss_samples)] = 1.0
     mask = jnp.asarray(mask)
 
+    @jax.jit
+    def run_steps(state, x, gt, mask):
+        def body(state, _):
+            state, loss = step_fn(state, x, gt, mask)
+            return state, loss
+
+        return jax.lax.scan(body, state, None, length=steps)
+
     with mesh:
-        state, loss = step_fn(state, x, gt, mask)        # compile + warmup
-        _ = float(loss)
+        state, losses = run_steps(state, x, gt, mask)    # compile + warmup
+        _ = float(losses[-1])
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            for _s in range(steps):
-                state, loss = step_fn(state, x, gt, mask)
-            _ = float(loss)
+            state, losses = run_steps(state, x, gt, mask)
+            _ = float(losses[-1])
             times.append((time.perf_counter() - t0) / steps)
     times.sort()
     median = times[len(times) // 2]
@@ -177,7 +184,7 @@ def measure_sharded(steps=20, repeats=3, subdiv=5, num_shards=None):
         "edges_per_s": edges / median,
         "devices": n_dev,
         "platform": jax.default_backend(),
-        "final_loss": float(loss),
+        "final_loss": float(losses[-1]),
     }
 
 

@@ -81,6 +81,8 @@ class LevelPartition:
     offsets: Tuple[int, ...]         # ring offsets (nonzero, e.g. (1, -1, 2))
     local_adj: np.ndarray            # [D, n, K'] deduped, neighbours-only
     local_adj_t: np.ndarray          # [D, ext, K_t] transpose slot maps
+    lane_adj: np.ndarray             # [D, K', n] transposed K-lists (lane gather)
+    lane_adj_t: np.ndarray           # [D, ext, K_tl] lane slot maps
     send_idx: np.ndarray
     recv_mask: np.ndarray
     halo_size: int                   # H per offset (uniform, padded)
@@ -238,12 +240,27 @@ def _partition_level(
     for s, t in enumerate(t_maps):
         local_adj_t[s, :, : t.shape[1]] = t
 
+    # lane-axis gather tables (the single-chip fast path's layout win —
+    # BASELINE.md 45.1M → 50.2M): transposed K-lists + lane slot maps over
+    # the extended index space
+    from facet_graph_convolution_tpu.graph.convert import lane_tables
+
+    lane_pairs = [lane_tables(local_adj[s], num_sources=ext)
+                  for s in range(num_shards)]
+    lane_adj = np.stack([p[0] for p in lane_pairs])
+    k_tl = max(p[1].shape[1] for p in lane_pairs)
+    lane_adj_t = np.zeros((num_shards, ext, k_tl), dtype=np.int32)
+    for s, (_, t) in enumerate(lane_pairs):
+        lane_adj_t[s, :, : t.shape[1]] = t
+
     return LevelPartition(
         num_nodes=n_total,
         block=block,
         offsets=offsets,
         local_adj=local_adj,
         local_adj_t=local_adj_t,
+        lane_adj=lane_adj,
+        lane_adj_t=lane_adj_t,
         send_idx=send_idx.clip(min=0),  # -1 → 0 (sends row 0; receiver masks)
         recv_mask=recv_mask,
         halo_size=halo,
@@ -337,8 +354,8 @@ def partition_operands_nminor(part: GraphPartition):
         )
         ops.append(
             (
-                jnp.asarray(lvl.local_adj),
-                jnp.asarray(lvl.local_adj_t),
+                jnp.asarray(lvl.lane_adj),
+                jnp.asarray(lvl.lane_adj_t),
                 jnp.asarray(lvl.send_idx),
                 jnp.asarray(lvl.recv_mask),
                 jnp.asarray(rows),
@@ -507,8 +524,15 @@ def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
     reduce fusions run without per-intermediate layout copies (measured
     ~7 ms/step on the single-chip path, BASELINE.md); row-major is confined
     to the gather boundary. ``mult_rows`` [K+1, n] is the fused
-    multiplicity × 1/degree table (slot 0 = self, 0 on padding)."""
-    from facet_graph_convolution_tpu.ops.gather import gather_neighbors
+    multiplicity × 1/degree table (slot 0 = self, 0 on padding).
+
+    The gather runs along the LANE (node) axis over the halo-extended
+    node-minor array (``adj`` = transposed [K', n] K-list, ``adj_t`` = lane
+    slot map over the extended space — LevelPartition.lane_adj[_t]): no
+    layout change anywhere between the collective and the aggregation, the
+    same formulation as the single-chip lane fast path (BASELINE.md
+    45.1M → 50.2M edges/s)."""
+    from facet_graph_convolution_tpu.ops.gather import gather_neighbors_lane
 
     adj, adj_t, send_idx, recv_mask, mult_rows = ops[:5]
     cross_send, cross_mask = ops[5:] if len(ops) > 5 else (None, None)
@@ -531,11 +555,9 @@ def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
     cat_t = jnp.concatenate([x_t, vx_t], axis=0).astype(dtype)   # [C+M, n]
     cat_ext_t = _halo_extend_nminor(cat_t, send_idx, recv_mask, offsets, axis,
                                     cross_send, cross_mask)
-    cat_ext = cat_ext_t.T                                # one boundary transpose
-    cat_nbr = gather_neighbors(cat_ext, adj, adj_t)      # [n, K', C+M]
-    # self slot: the local row, prepended without a gather
-    cat_nbr = jnp.concatenate([cat_ext[:n, None, :], cat_nbr], axis=1)
-    nbr_t = jnp.transpose(cat_nbr, (2, 1, 0))            # [C+M, K'+1, n]
+    nbr_g = gather_neighbors_lane(cat_ext_t, adj, adj_t)  # [C+M, K', n]
+    # self slot: the local column, prepended without a gather
+    nbr_t = jnp.concatenate([cat_t[:, None, :], nbr_g], axis=1)
     x_nbr_t = nbr_t[:in_ch]
     vx_nbr_t = nbr_t[in_ch:]
 
@@ -559,7 +581,7 @@ def _sharded_conv_nminor_rotinv(params, x_t, ops, offsets, axis,
     exchange + gather stay node-minor; only the small (C ≤ 6) rotation math
     runs row-major (see ops/conv._facet_conv_nminor_rotinv)."""
     from facet_graph_convolution_tpu.ops.conv import _rotation_invariant_feats
-    from facet_graph_convolution_tpu.ops.gather import gather_neighbors
+    from facet_graph_convolution_tpu.ops.gather import gather_neighbors_lane
 
     adj, adj_t, send_idx, recv_mask, mult_rows = ops[:5]
     cross_send, cross_mask = ops[5:] if len(ops) > 5 else (None, None)
@@ -570,7 +592,8 @@ def _sharded_conv_nminor_rotinv(params, x_t, ops, offsets, axis,
 
     x_ext_t = _halo_extend_nminor(x_t, send_idx, recv_mask, offsets, axis,
                                   cross_send, cross_mask)
-    x_nbr = gather_neighbors(x_ext_t.T, adj, adj_t)       # [n, K', C]
+    x_nbr_g = gather_neighbors_lane(x_ext_t, adj, adj_t)  # [C, K', n]
+    x_nbr = jnp.transpose(x_nbr_g, (2, 1, 0))             # [n, K', C] (small C)
     x_row = x_t.T
     feats = _rotation_invariant_feats(x_row, x_nbr, self_slot=True)
     logits = jnp.einsum("nkc,mc->nkm", feats, u) + c      # [n, K'+1, M]
