@@ -357,6 +357,21 @@ def _facet_conv_fused(params, x, adj, variant, bias_mask, compute_dtype, adj_t,
     return y
 
 
+def _aggregate_nminor(q_t: jnp.ndarray, x_nbr_t: jnp.ndarray) -> jnp.ndarray:
+    """K-slot aggregation ``z[m,c,n] = Σ_k q[m,k,n]·x[c,k,n]`` as an explicit
+    broadcast-multiply-reduce instead of ``einsum``/``dot_general``.
+
+    XLA lowers the n-batched tiny-matrix dot (M×K times K×C per node) by
+    canonicalizing operand/result layouts, inserting ~0.4-0.9 ms layout
+    copies per conv around the dot in BOTH directions (measured,
+    tools/op_profile.py); the same contraction written as multiply +
+    f32-accumulated reduce stays a VPU reduce fusion in the operands' native
+    node-minor layouts — and its autodiff backward (broadcast-mul-reduce over
+    c and m) inherits the same fusion-friendly form."""
+    prod = q_t[:, None, :, :] * x_nbr_t[None, :, :, :]          # [M, C, K, N]
+    return jnp.sum(prod, axis=2, dtype=jnp.float32)
+
+
 def facet_conv_nminor(
     params: Dict[str, jnp.ndarray],
     x_t: jnp.ndarray,
@@ -400,7 +415,9 @@ def facet_conv_nminor(
     ux_t = u @ x_t                                             # [M, N]
     cat_t = jnp.concatenate([x_t, vx_t], axis=0).astype(dtype)  # [C+M, N]
     if lane:
-        nbr_g = gather_neighbors_lane(cat_t, adj, adj_t)       # [C+M, K, N]
+        # clamped: padding slots gather finite garbage, provably zeroed by
+        # the mult_rows multiply on q below — saves the zero-column pad
+        nbr_g = gather_neighbors_lane(cat_t, adj, adj_t, clamped=True)
         nbr_t = jnp.concatenate([cat_t[:, None, :], nbr_g], axis=1)
     else:
         cat = cat_t.T                                          # small transpose
@@ -414,8 +431,7 @@ def facet_conv_nminor(
     q_t = jax.nn.softmax(logits_t.astype(jnp.float32), axis=0)  # over M
     q_t = (q_t * mult_rows[None, :, :]).astype(dtype)          # [M, K+1, N]
 
-    z_t = jnp.einsum("mkn,ckn->mcn", q_t, x_nbr_t,
-                     preferred_element_type=jnp.float32)
+    z_t = _aggregate_nminor(q_t, x_nbr_t)                      # [M, C, N] f32
     z_t = z_t.reshape(m * in_ch, n).astype(dtype)
     wf = jnp.transpose(w, (1, 0, 2)).reshape(out_ch, m * in_ch)
     y_t = jnp.einsum("oz,zn->on", wf.astype(dtype), z_t,
@@ -456,8 +472,7 @@ def _facet_conv_nminor_rotinv(params, x_t, adj, adj_t, mult_rows,
     q_t = jnp.transpose(q, (2, 1, 0))                           # [M, K+1, N]
     q_t = (q_t * mult_rows[None, :, :]).astype(dtype)
 
-    z_t = jnp.einsum("mkn,ckn->mcn", q_t, nbr_t.astype(dtype),
-                     preferred_element_type=jnp.float32)
+    z_t = _aggregate_nminor(q_t, nbr_t.astype(dtype))
     z_t = z_t.reshape(m * in_ch, n).astype(dtype)
     wf = jnp.transpose(w, (1, 0, 2)).reshape(out_ch, m * in_ch)
     y_t = jnp.einsum("oz,zn->on", wf.astype(dtype), z_t,

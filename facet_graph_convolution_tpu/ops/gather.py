@@ -27,11 +27,15 @@ def _gather_t_fwd(x, adj, adj_t):
 def _gather_t_bwd(res, g):
     # g is [rows(adj), K, C]; adj_t flat slots index rows(adj)*K, and adj_t
     # has one row per SOURCE row of x (which may exceed rows(adj) when x is a
-    # halo-extended array)
+    # halo-extended array). Padding slots (0) are handled by clamp + mask
+    # instead of a prepended zero row: the zero row forces XLA to materialize
+    # a full padded copy of g (the gather operand can't be fused), while the
+    # validity-mask multiply fuses into the slot-sum reduction.
     (adj_t,) = res
     g_flat = g.reshape(-1, g.shape[-1])
-    g_pad = jnp.concatenate([jnp.zeros_like(g_flat[:1]), g_flat], axis=0)
-    dx = jnp.sum(jnp.take(g_pad, adj_t, axis=0), axis=1)
+    idx = jnp.maximum(adj_t - 1, 0)
+    valid = (adj_t > 0).astype(g_flat.dtype)
+    dx = jnp.sum(jnp.take(g_flat, idx, axis=0) * valid[:, :, None], axis=1)
     return dx, None, None
 
 
@@ -69,21 +73,45 @@ def _gather_lane_fwd(x_t, adjT, adjT_t):
 
 
 def _gather_lane_bwd(res, g):
-    # g is [C, K, N]; adjT_t's one-indexed flat slots index k·N + n
+    # g is [C, K, N]; adjT_t's one-indexed flat slots index k·N + n. Padding
+    # slots (0) are clamp+masked rather than gathered from a prepended zero
+    # column: padding g to [C, K·N+1] materializes a full extra copy of the
+    # cotangent (~45 MB/conv at level 0, measured with tools/op_profile.py),
+    # while the mask multiply fuses into the slot-sum reduction.
     (adjT_t,) = res
     c = g.shape[0]
     g_flat = g.reshape(c, -1)
-    g_pad = jnp.concatenate([jnp.zeros_like(g_flat[:, :1]), g_flat], axis=1)
-    dx = jnp.take(g_pad, adjT_t, axis=1)
-    dx = jnp.sum(dx.reshape(c, adjT_t.shape[0], adjT_t.shape[1]), axis=-1)
+    idx = jnp.maximum(adjT_t - 1, 0)
+    valid = (adjT_t > 0).astype(g_flat.dtype)
+    dx = jnp.take(g_flat, idx, axis=1)                  # [C, N, S]
+    dx = jnp.sum(dx * valid[None], axis=-1)
     return dx, None, None
 
 
 _gather_lane.defvjp(_gather_lane_fwd, _gather_lane_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _gather_lane_clamped(x_t, adjT, adjT_t):
+    return jnp.take(x_t, jnp.maximum(adjT - 1, 0), axis=1)
+
+
+def _gather_lane_clamped_fwd(x_t, adjT, adjT_t):
+    return _gather_lane_clamped(x_t, adjT, adjT_t), (adjT_t,)
+
+
+# the backward never touches padding slots (adjT_t lists real edges only),
+# so it is shared with the zero-padding forward — and exact for it: the true
+# gradient through a clamped padding slot is zero because the consumer's
+# output must not depend on that slot's value (the clamped contract below)
+_gather_lane_clamped.defvjp(_gather_lane_clamped_fwd, _gather_lane_bwd)
+
+
 def gather_neighbors_lane(
-    x_t: jnp.ndarray, adjT: jnp.ndarray, adjT_t: jnp.ndarray
+    x_t: jnp.ndarray,
+    adjT: jnp.ndarray,
+    adjT_t: jnp.ndarray,
+    clamped: bool = False,
 ) -> jnp.ndarray:
     """Node-minor (lane-axis) neighbour gather: ``x_t`` [C, N] node-minor
     features, ``adjT`` [K, N] one-indexed transposed K-list (0 = padding) →
@@ -97,7 +125,18 @@ def gather_neighbors_lane(
     backward is the same lane-axis gather over ``adjT_t``
     (:func:`facet_graph_convolution_tpu.graph.convert.lane_tables`), so both
     directions stay scatter-free and layout-copy-free.
+
+    With ``clamped=True`` padding slots gather column ``max(adjT-1, 0)``
+    (i.e. node 0's finite features) instead of a prepended zero column —
+    skipping the [C, N+1] pad materialization the zero-column form forces.
+    ONLY valid when the consumer's output provably never depends on
+    padding-slot values (e.g. the node-minor conv, whose ``mult_rows``
+    multiply zeroes every padding slot's q in f32 before aggregation); NOT
+    safe when padding values could turn into NaN before being masked (e.g.
+    the rotation-invariant feature path normalizes gathered vectors).
     """
+    if clamped:
+        return _gather_lane_clamped(x_t, adjT, adjT_t)
     return _gather_lane(x_t, adjT, adjT_t)
 
 

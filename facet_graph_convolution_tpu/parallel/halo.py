@@ -34,7 +34,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from facet_graph_convolution_tpu.config import Config
 from facet_graph_convolution_tpu.models.losses import _fake_node_mask
-from facet_graph_convolution_tpu.ops.conv import FacetConvVariant
+from facet_graph_convolution_tpu.ops.conv import (
+    FacetConvVariant,
+    _aggregate_nminor,
+)
 from facet_graph_convolution_tpu.ops.normalization import lrelu
 from facet_graph_convolution_tpu.ops.pooling import (
     tree_pool,
@@ -555,7 +558,9 @@ def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
     cat_t = jnp.concatenate([x_t, vx_t], axis=0).astype(dtype)   # [C+M, n]
     cat_ext_t = _halo_extend_nminor(cat_t, send_idx, recv_mask, offsets, axis,
                                     cross_send, cross_mask)
-    nbr_g = gather_neighbors_lane(cat_ext_t, adj, adj_t)  # [C+M, K', n]
+    # clamped: padding slots gather finite garbage, provably zeroed by the
+    # mult_rows multiply on q below — saves the zero-column pad
+    nbr_g = gather_neighbors_lane(cat_ext_t, adj, adj_t, clamped=True)
     # self slot: the local column, prepended without a gather
     nbr_t = jnp.concatenate([cat_t[:, None, :], nbr_g], axis=1)
     x_nbr_t = nbr_t[:in_ch]
@@ -565,8 +570,7 @@ def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
     q_t = jax.nn.softmax(logits_t.astype(jnp.float32), axis=0)   # over M
     q_t = (q_t * mult_rows[None, :, :]).astype(dtype)
 
-    z_t = jnp.einsum("mkn,ckn->mcn", q_t, x_nbr_t,
-                     preferred_element_type=jnp.float32)
+    z_t = _aggregate_nminor(q_t, x_nbr_t)
     z_t = z_t.reshape(m * in_ch, n).astype(dtype)
     wf = jnp.transpose(w, (1, 0, 2)).reshape(out_ch, m * in_ch)
     y_t = jnp.einsum("oz,zn->on", wf.astype(dtype), z_t,
@@ -604,8 +608,7 @@ def _sharded_conv_nminor_rotinv(params, x_t, ops, offsets, axis,
     nbr_t = jnp.concatenate(
         [x_t[:, None, :], jnp.transpose(x_nbr, (2, 1, 0))], axis=1
     )                                                     # [C, K'+1, n]
-    z_t = jnp.einsum("mkn,ckn->mcn", q_t, nbr_t.astype(dtype),
-                     preferred_element_type=jnp.float32)
+    z_t = _aggregate_nminor(q_t, nbr_t.astype(dtype))
     z_t = z_t.reshape(m * in_ch, n).astype(dtype)
     wf = jnp.transpose(w, (1, 0, 2)).reshape(out_ch, m * in_ch)
     y_t = jnp.einsum("oz,zn->on", wf.astype(dtype), z_t,

@@ -1,0 +1,158 @@
+"""Per-op device-time profile of the benchmark training step.
+
+Captures a ``jax.profiler`` trace of the scanned train step (same program as
+``bench.py``) and aggregates XLA op durations from the device plane via
+``jax.profiler.ProfileData`` — no TensorBoard needed. Prints the top ops and
+a category rollup (gather / layout copies / fusions / convolution-matmuls /
+reshape-pad / other), which is how the BASELINE.md per-op profiles were
+measured.
+
+    python tools/op_profile.py [--steps 20] [--subdiv 5] [--top 30]
+    python tools/op_profile.py --sharded          # halo-exchange step
+"""
+
+import argparse
+import collections
+import glob
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _capture(run, args_tuple, steps):
+    """Run `run(*args_tuple)` once under a trace; return xplane path."""
+    import jax
+
+    logdir = tempfile.mkdtemp(prefix="fgc_prof_")
+    with jax.profiler.trace(logdir):
+        out = run(*args_tuple)
+        jax.tree.map(
+            lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
+            else a, out)
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        raise RuntimeError(f"no xplane.pb written under {logdir}")
+    return max(paths, key=os.path.getmtime)
+
+
+def _busy_union_ns(events) -> int:
+    """Total wall time covered by ≥1 event (overlaps merged)."""
+    ivs = sorted((e.start_ns, e.end_ns) for e in events)
+    if not ivs:
+        return 0
+    busy = 0
+    cs, ce = ivs[0]
+    for s, e in ivs[1:]:
+        if s > ce:
+            busy += ce - cs
+            cs, ce = s, e
+        else:
+            ce = max(ce, e)
+    return busy + (ce - cs)
+
+
+def _opcode(name: str) -> str:
+    m = re.match(r"%?([a-zA-Z-]+)", name.lstrip("%"))
+    return m.group(1) if m else name[:24]
+
+
+def _shape_sig(name: str) -> str:
+    """Group by `<shape> <opcode>` so layout variants of the same tensor
+    aggregate together."""
+    m = re.search(r"= (\S+) ([a-zA-Z-]+)\(", name)
+    return f"{m.group(1)} {m.group(2)}" if m else name[:90]
+
+
+def summarize(xplane_path: str, steps: int, top: int):
+    from jax.profiler import ProfileData
+
+    data = ProfileData.from_file(xplane_path)
+    device_planes = [p for p in data.planes
+                     if p.name.startswith("/device:") and "CUSTOM" not in p.name]
+    for plane in device_planes:
+        print(f"== plane {plane.name}")
+        for line in plane.lines:
+            if line.name not in ("XLA Ops", "Async XLA Ops"):
+                continue
+            events = list(line.events)
+            busy = _busy_union_ns(events)
+            per = collections.Counter()
+            cnt = collections.Counter()
+            sig = collections.Counter()
+            for ev in events:
+                op = _opcode(ev.name)
+                if op in ("while", "jit"):     # outer scan wrapper — skip
+                    continue
+                per[op] += ev.duration_ns
+                cnt[op] += 1
+                sig[_shape_sig(ev.name)] += ev.duration_ns
+            print(f"-- line '{line.name}': busy {busy/1e6/steps:.3f} ms/step, "
+                  f"op-sum {sum(per.values())/1e6/steps:.3f} ms/step")
+            for op, ns in per.most_common(12):
+                print(f"   {ns/1e6/steps:8.3f} ms/step x{cnt[op]//steps:<5d} {op}")
+            print(f"   top {top} by shape signature:")
+            for s, ns in sig.most_common(top):
+                print(f"   {ns/1e6/steps:8.3f} ms/step  {s[:100]}")
+            print()
+
+
+def build_plain(steps, subdiv):
+    import jax
+    import bench
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fgc_jax_cache")
+    from facet_graph_convolution_tpu.config import default_config
+    from facet_graph_convolution_tpu.data.dataset import (
+        bucket_size, pad_patch_to)
+    from facet_graph_convolution_tpu.training.trainer import (
+        _patch_arrays, create_train_state, make_normals_train_step)
+
+    patch = bench.build_bench_patch(subdiv=subdiv)
+    patch = pad_patch_to(patch, bucket_size(patch.num_nodes, 1024))
+    cfg = default_config().replace(model={"compute_dtype": "bfloat16"})
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_normals_train_step(tx, cfg)
+    x, adjs, gt, adj_ts, mults = _patch_arrays(patch, lane=True)
+
+    @jax.jit
+    def run_steps(state, keys, x, adjs, gt, adj_ts, mults):
+        def body(state, key):
+            state, loss = step_fn(state, x, adjs, gt, key, adj_ts, mults)
+            return state, loss
+        return jax.lax.scan(body, state, keys)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), steps)
+    args_t = (state, keys, x, adjs, gt, adj_ts, mults)
+    state, losses = run_steps(*args_t)          # compile + warmup
+    _ = float(losses[-1])
+    return run_steps, args_t
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--subdiv", type=int, default=5)
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--sharded", action="store_true")
+    args = ap.parse_args()
+
+    if args.sharded:
+        import bench as b
+        res = b.measure_sharded(steps=args.steps, subdiv=args.subdiv,
+                                repeats=1)
+        print(f"(sharded step {res['median_step_s']*1e3:.2f} ms; trace via "
+              f"plain path not wired — use bench.py --sharded for timing)")
+        return
+
+    run, args_t = build_plain(args.steps, args.subdiv)
+    xp = _capture(run, args_t, args.steps)
+    print(f"xplane: {xp}\n")
+    summarize(xp, args.steps, args.top)
+
+
+if __name__ == "__main__":
+    main()
