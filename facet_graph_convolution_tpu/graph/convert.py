@@ -212,18 +212,22 @@ def lane_tables(
     """Index tables for the lane-axis (node-minor) gather.
 
     For the one-indexed neighbours-only K-list ``adj_nbr`` [N, K], returns
-    ``(adjT [K, N], adjT_t [num_sources, K_t])``: ``adjT`` is the transposed
+    ``(adjT [K, N], adjT_t [K_t, num_sources])``: ``adjT`` is the transposed
     K-list consumed by
     :func:`facet_graph_convolution_tpu.ops.gather.gather_neighbors_lane`,
     and ``adjT_t`` its transpose slot map with one-indexed FLAT slots over
-    ``k·N + n`` (0 = pad) for the scatter-free backward. ``num_sources``
-    defaults to N; pass the halo-extended row count when ``adj_nbr`` indexes
-    an extended feature array."""
+    ``k·N + n`` (0 = pad) for the scatter-free backward. Both tables are
+    node-axis-minor ([slots, nodes]) so BOTH gather directions keep their
+    output node-minor without any in-graph table transpose (which would be
+    recomputed per step whenever the table is itself selected per step, as
+    in the DP patch bank). ``num_sources`` defaults to N; pass the
+    halo-extended row count when ``adj_nbr`` indexes an extended feature
+    array."""
     adjT = np.ascontiguousarray(adj_nbr.T.astype(np.int32))
     # transpose_adjacency flattens its [rows, cols] input row-major, so on
     # adjT ([K, N]) the emitted flat slots are exactly k·N + n
     adjT_t = transpose_adjacency(adjT, num_targets=num_sources or adj_nbr.shape[0])
-    return adjT, adjT_t
+    return adjT, np.ascontiguousarray(adjT_t.T)
 
 
 def invert_permutation(perm: np.ndarray) -> np.ndarray:

@@ -81,13 +81,12 @@ def _gather_lane_bwd(res, g):
     (adjT_t,) = res
     c = g.shape[0]
     g_flat = g.reshape(c, -1)
-    # index in [S, N] order (node axis minor, like the forward's [K, N]
-    # K-list): with [N, S] indices XLA canonicalizes the lane gather to a
+    # adjT_t is [S, N] (node axis minor, like the forward's [K, N] K-list):
+    # with node-major [N, S] indices XLA canonicalizes the lane gather to a
     # row-major [N·S, C] output plus reshape/transpose churn (~1.5 ms/step
-    # measured); the transposes of the loop-invariant table are hoisted out
-    # of the scan body by XLA's while-loop invariant code motion
-    idx = jnp.maximum(adjT_t - 1, 0).T
-    valid = (adjT_t > 0).T.astype(g_flat.dtype)
+    # measured with tools/op_profile.py)
+    idx = jnp.maximum(adjT_t - 1, 0)
+    valid = (adjT_t > 0).astype(g_flat.dtype)
     dx = jnp.take(g_flat, idx, axis=1)                  # [C, S, N]
     dx = jnp.sum(dx * valid[None], axis=1)
     return dx, None, None

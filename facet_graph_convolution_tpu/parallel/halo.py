@@ -85,7 +85,7 @@ class LevelPartition:
     local_adj: np.ndarray            # [D, n, K'] deduped, neighbours-only
     local_adj_t: np.ndarray          # [D, ext, K_t] transpose slot maps
     lane_adj: np.ndarray             # [D, K', n] transposed K-lists (lane gather)
-    lane_adj_t: np.ndarray           # [D, ext, K_tl] lane slot maps
+    lane_adj_t: np.ndarray           # [D, K_tl, ext] lane slot maps (node minor)
     send_idx: np.ndarray
     recv_mask: np.ndarray
     halo_size: int                   # H per offset (uniform, padded)
@@ -251,10 +251,11 @@ def _partition_level(
     lane_pairs = [lane_tables(local_adj[s], num_sources=ext)
                   for s in range(num_shards)]
     lane_adj = np.stack([p[0] for p in lane_pairs])
-    k_tl = max(p[1].shape[1] for p in lane_pairs)
-    lane_adj_t = np.zeros((num_shards, ext, k_tl), dtype=np.int32)
+    # lane slot maps are [K_t, ext] (node axis minor — see lane_tables)
+    k_tl = max(p[1].shape[0] for p in lane_pairs)
+    lane_adj_t = np.zeros((num_shards, k_tl, ext), dtype=np.int32)
     for s, (_, t) in enumerate(lane_pairs):
-        lane_adj_t[s, :, : t.shape[1]] = t
+        lane_adj_t[s, : t.shape[0], :] = t
 
     return LevelPartition(
         num_nodes=n_total,
