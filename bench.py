@@ -45,13 +45,13 @@ def count_edges(patch) -> int:
     return total
 
 
-def measure(steps=20, repeats=3, subdiv=5, bf16=False, lane=True):
-    """Sustained training throughput: `steps` full train steps run inside one
-    jitted lax.scan (keys presplit on host), timed over `repeats` dispatches.
-    This measures device throughput, not per-dispatch host/tunnel latency —
-    and matches how the production loop batches steps."""
+def build_step_runner(steps=20, subdiv=5, bf16=True, lane=True):
+    """Build + compile + warm the benchmark training program: a jitted
+    ``steps``-long ``lax.scan`` over the full train step. Returns
+    ``(run_steps, args, info)`` — shared by :func:`measure` and
+    ``tools/op_profile.py``, so the profiler always profiles exactly the
+    program the benchmark times."""
     import jax
-    import jax.numpy as jnp
 
     # cache compiles across bench runs (remote TPU compiles take minutes)
     jax.config.update("jax_compilation_cache_dir", "/tmp/fgc_jax_cache")
@@ -60,6 +60,7 @@ def measure(steps=20, repeats=3, subdiv=5, bf16=False, lane=True):
     from facet_graph_convolution_tpu.config import default_config
     from facet_graph_convolution_tpu.data.dataset import bucket_size, pad_patch_to
     from facet_graph_convolution_tpu.training.trainer import (
+        _patch_arrays,
         create_train_state,
         make_normals_train_step,
     )
@@ -74,8 +75,6 @@ def measure(steps=20, repeats=3, subdiv=5, bf16=False, lane=True):
     state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
     step_fn = make_normals_train_step(tx, cfg)  # (state, x, adjs, gt, key)
 
-    from facet_graph_convolution_tpu.training.trainer import _patch_arrays
-
     x, adjs, gt, adj_ts, mults = _patch_arrays(patch, lane=lane)
 
     @jax.jit
@@ -87,13 +86,27 @@ def measure(steps=20, repeats=3, subdiv=5, bf16=False, lane=True):
         return jax.lax.scan(body, state, keys)
 
     keys = jax.random.split(jax.random.PRNGKey(1), steps)
-    state, losses = run_steps(state, keys, x, adjs, gt, adj_ts, mults)
-    _ = float(losses[-1])                                   # compile+warmup
+    args = (state, keys, x, adjs, gt, adj_ts, mults)
+    state, losses = run_steps(*args)                        # compile+warmup
+    _ = float(losses[-1])
+    info = {"edges_per_step": edges, "nodes": patch.num_nodes}
+    return run_steps, args, info
+
+
+def measure(steps=20, repeats=3, subdiv=5, bf16=False, lane=True):
+    """Sustained training throughput: `steps` full train steps run inside one
+    jitted lax.scan (keys presplit on host), timed over `repeats` dispatches.
+    This measures device throughput, not per-dispatch host/tunnel latency —
+    and matches how the production loop batches steps."""
+    import jax
+
+    run_steps, args, info = build_step_runner(steps, subdiv, bf16, lane)
+    edges = info["edges_per_step"]
 
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        state, losses = run_steps(state, keys, x, adjs, gt, adj_ts, mults)
+        state, losses = run_steps(*args)
         # block_until_ready does not reliably await on the axon tunnel;
         # force a value transfer to measure true completion
         _ = float(losses[-1])
@@ -103,7 +116,7 @@ def measure(steps=20, repeats=3, subdiv=5, bf16=False, lane=True):
     median = times[len(times) // 2]
     return {
         "edges_per_step": edges,
-        "nodes": patch.num_nodes,
+        "nodes": info["nodes"],
         "median_step_s": median,
         "best_step_s": times[0],
         "edges_per_s": edges / median,

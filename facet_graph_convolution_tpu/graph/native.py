@@ -94,6 +94,8 @@ def _load() -> ctypes.CDLL:
         ]
         lib.obj_copy.restype = None
         lib.obj_copy.argtypes = [ctypes.c_void_p, f32p, i64p]
+        lib.obj_release.restype = None
+        lib.obj_release.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return lib
 
@@ -134,9 +136,16 @@ def parse_obj_native(path: str) -> Tuple[np.ndarray, np.ndarray]:
     nt = ctypes.c_int64()
     handle = lib.obj_parse(path.encode(), ctypes.byref(nv), ctypes.byref(nt))
     if not handle:
-        raise OSError(f"obj_parse could not open {path!r}")
-    verts = np.empty((nv.value, 3), dtype=np.float32)
-    tris = np.empty((nt.value, 3), dtype=np.int64)
+        # unreadable, truncated, or a construct the C parser refuses
+        # (negative/relative or malformed face indices) — the caller falls
+        # back to the Python loop, which raises the Pythonic error
+        raise OSError(f"obj_parse could not parse {path!r}")
+    try:
+        verts = np.empty((nv.value, 3), dtype=np.float32)
+        tris = np.empty((nt.value, 3), dtype=np.int64)
+    except BaseException:
+        lib.obj_release(handle)
+        raise
     lib.obj_copy(handle, verts, tris)
     return verts, tris
 

@@ -10,11 +10,16 @@
 // Exposed with a C ABI and consumed via ctypes
 // (facet_graph_convolution_tpu/graph/native.py).
 
+#ifndef _GNU_SOURCE
+#define _GNU_SOURCE  // strtof_l / strtoll_l / newlocale
+#endif
+
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <locale.h>
 #include <vector>
 
 extern "C" {
@@ -174,26 +179,38 @@ extern "C" {
 void* obj_parse(const char* path, int64_t* n_verts, int64_t* n_tris) {
   FILE* f = fopen(path, "rb");
   if (!f) return nullptr;
-  fseek(f, 0, SEEK_END);
+  if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return nullptr; }
   const long sz = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  std::vector<char> buf(static_cast<size_t>(sz) + 1);
+  if (sz < 0 || fseek(f, 0, SEEK_SET) != 0) { fclose(f); return nullptr; }
+  // +2: a '\n' sentinel terminating the last line and a '\0' stopping
+  // strtof/strtoll (which skip '\n' as leading whitespace and would
+  // otherwise read past the buffer on a truncated final line)
+  std::vector<char> buf(static_cast<size_t>(sz) + 2);
   const size_t got = fread(buf.data(), 1, static_cast<size_t>(sz), f);
   fclose(f);
+  if (got != static_cast<size_t>(sz)) return nullptr;  // dir/special file
   buf[got] = '\n';
+  buf[got + 1] = '\0';
   const char* p = buf.data();
-  const char* end = buf.data() + got + 1;
+  const char* end = buf.data() + got + 1;  // points AT the '\0'
+
+  // strtof is LC_NUMERIC-sensitive (a de_DE host would parse "1.5" as 1);
+  // pin the C locale like Python's float()
+  static locale_t c_loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
 
   auto* data = new ObjData();
   std::vector<int64_t> poly;
-  while (p < end) {
+  bool ok = true;
+  while (ok && p < end) {
     p = skip_ws(p, end);
     if (p >= end) break;
     if (*p == 'v' && (p + 1 < end) && (p[1] == ' ' || p[1] == '\t')) {
       ++p;
       for (int i = 0; i < 3; ++i) {
         char* q;
-        data->verts.push_back(strtof(p, &q));
+        const float v = strtof_l(p, &q, c_loc);
+        if (q == p) { ok = false; break; }  // <3 coords — Python raises too
+        data->verts.push_back(v);
         p = q;
       }
     } else if (*p == 'f' && (p + 1 < end) && (p[1] == ' ' || p[1] == '\t')) {
@@ -203,8 +220,13 @@ void* obj_parse(const char* path, int64_t* n_verts, int64_t* n_tris) {
         p = skip_ws(p, end);
         if (p >= end || *p == '\n') break;
         char* q;
-        const long long idx = strtoll(p, &q, 10);
-        if (q == p) break;  // malformed token — stop like int() would error
+        const long long idx = strtoll_l(p, &q, 10, c_loc);
+        if (q == p || idx < 1) {
+          // malformed token or negative/zero (relative) index: the Python
+          // loader errors on these — refuse so the caller falls back
+          ok = false;
+          break;
+        }
         poly.push_back(static_cast<int64_t>(idx) - 1);
         p = skip_token(q, end);  // drop /texture/normal parts
       }
@@ -216,6 +238,10 @@ void* obj_parse(const char* path, int64_t* n_verts, int64_t* n_tris) {
     }
     while (p < end && *p != '\n') ++p;  // rest of line (or unknown tag)
     ++p;
+  }
+  if (!ok) {
+    delete data;
+    return nullptr;
   }
   *n_verts = static_cast<int64_t>(data->verts.size() / 3);
   *n_tris = static_cast<int64_t>(data->tris.size() / 3);

@@ -103,6 +103,15 @@ def test_obj_parse_parity(tmp_path):
     p = tmp_path / "mesh.obj"
     p.write_text(obj + "\n")
 
+    # prove the native parser actually runs (otherwise load_obj's silent
+    # fallback would compare the Python path against itself)
+    from facet_graph_convolution_tpu.graph import native as native_mod
+
+    try:
+        native_mod.parse_obj_native(str(p))
+    except ImportError:
+        pytest.skip("native graph library unavailable")
+
     v_nat, f_nat, n_nat = load_obj(str(p))
     os.environ["FGC_DISABLE_NATIVE"] = "1"
     try:
@@ -130,3 +139,33 @@ def test_obj_parse_large_roundtrip(tmp_path):
     assert v2.shape == v.shape and f2.shape == f.shape
     np.testing.assert_allclose(v2, v, atol=1e-5)
     np.testing.assert_array_equal(f2.astype(np.int64), f)
+
+
+def test_obj_parse_refuses_relative_indices(tmp_path):
+    """Negative (relative) OBJ face indices are refused by the C parser so
+    load_obj falls back to the Python path instead of silently wrapping."""
+    from facet_graph_convolution_tpu.graph import native as native_mod
+
+    p = tmp_path / "rel.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf -1 -2 -3\n")
+    try:
+        native_mod._load()
+    except ImportError:
+        pytest.skip("native graph library unavailable")
+    with pytest.raises(OSError):
+        native_mod.parse_obj_native(str(p))
+
+
+def test_obj_parse_truncated_last_line(tmp_path):
+    """A vertex line with <3 coords at EOF must be refused (the Python path
+    raises on the ragged list), not read past the buffer."""
+    from facet_graph_convolution_tpu.graph import native as native_mod
+
+    p = tmp_path / "trunc.obj"
+    p.write_text("v 0 0 0\nv 1 2")
+    try:
+        native_mod._load()
+    except ImportError:
+        pytest.skip("native graph library unavailable")
+    with pytest.raises(OSError):
+        native_mod.parse_obj_native(str(p))

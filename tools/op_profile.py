@@ -22,7 +22,7 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _capture(run, args_tuple, steps):
+def _capture(run, args_tuple):
     """Run `run(*args_tuple)` once under a trace; return xplane path."""
     import jax
 
@@ -100,38 +100,6 @@ def summarize(xplane_path: str, steps: int, top: int):
             print()
 
 
-def build_plain(steps, subdiv):
-    import jax
-    import bench
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/fgc_jax_cache")
-    from facet_graph_convolution_tpu.config import default_config
-    from facet_graph_convolution_tpu.data.dataset import (
-        bucket_size, pad_patch_to)
-    from facet_graph_convolution_tpu.training.trainer import (
-        _patch_arrays, create_train_state, make_normals_train_step)
-
-    patch = bench.build_bench_patch(subdiv=subdiv)
-    patch = pad_patch_to(patch, bucket_size(patch.num_nodes, 1024))
-    cfg = default_config().replace(model={"compute_dtype": "bfloat16"})
-    state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
-    step_fn = make_normals_train_step(tx, cfg)
-    x, adjs, gt, adj_ts, mults = _patch_arrays(patch, lane=True)
-
-    @jax.jit
-    def run_steps(state, keys, x, adjs, gt, adj_ts, mults):
-        def body(state, key):
-            state, loss = step_fn(state, x, adjs, gt, key, adj_ts, mults)
-            return state, loss
-        return jax.lax.scan(body, state, keys)
-
-    keys = jax.random.split(jax.random.PRNGKey(1), steps)
-    args_t = (state, keys, x, adjs, gt, adj_ts, mults)
-    state, losses = run_steps(*args_t)          # compile + warmup
-    _ = float(losses[-1])
-    return run_steps, args_t
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
@@ -148,8 +116,12 @@ def main():
               f"plain path not wired — use bench.py --sharded for timing)")
         return
 
-    run, args_t = build_plain(args.steps, args.subdiv)
-    xp = _capture(run, args_t, args.steps)
+    import bench
+
+    # the exact program bench.py times (shared builder — no drift)
+    run, args_t, _ = bench.build_step_runner(steps=args.steps,
+                                             subdiv=args.subdiv)
+    xp = _capture(run, args_t)
     print(f"xplane: {xp}\n")
     summarize(xp, args.steps, args.top)
 
