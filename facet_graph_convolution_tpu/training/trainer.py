@@ -341,7 +341,12 @@ def make_scanned_train_step(step_fn, steps_per_call: int):
     import jax
 
     @jax.jit
-    def run(state, xs, adjs, gts, idxs, keys, adj_ts, mults):
+    def run(state, xs, adjs, gts, idxs, base_key, adj_ts, mults):
+        # per-step keys derive INSIDE the dispatch: a host-side
+        # jax.random.split per chunk is its own device round-trip on a
+        # tunnel-attached TPU (~2 round-trips per chunk measured)
+        keys = jax.random.split(base_key, steps_per_call)
+
         def body(state, sel):
             idx, key = sel
             take = lambda t: jnp.take(t, idx, axis=0)
@@ -403,20 +408,28 @@ def train_normals(
         stacked = _stack_patch_arrays(arrays)
         run = make_scanned_train_step(step_fn, steps_per_call)
         num_patches = len(arrays)
+        # one split up front for every chunk's base key (as host numpy): the
+        # in-loop host-side splits each cost a device round-trip over the
+        # tunnel; per-step keys derive from the base key inside the dispatch
+        num_chunks = (iters + steps_per_call - 1) // steps_per_call
+        key, ckey = jax.random.split(key)
+        chunk_keys = np.asarray(jax.random.split(ckey, max(num_chunks, 1)))
         it = 0
+        ci = 0
         while it < iters:
             chunk = min(steps_per_call, iters - it)
             idxs = jnp.asarray(rng.integers(num_patches, size=steps_per_call))
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, steps_per_call)
+            base_key = jnp.asarray(chunk_keys[ci])
+            ci += 1
             xs, s_adjs, gts, s_adj_ts, s_mults = stacked
             if chunk == steps_per_call:
-                state, losses = run(state, xs, s_adjs, gts, idxs, keys,
+                state, losses = run(state, xs, s_adjs, gts, idxs, base_key,
                                     s_adj_ts, s_mults)
                 losses = np.asarray(losses)
             else:
                 # remainder chunk: per-step execution so exactly
                 # num_iterations optimizer updates are applied
+                keys = jax.random.split(base_key, chunk)
                 rem = []
                 for j in range(chunk):
                     x, adjs, gt, adj_ts, mults = arrays[int(idxs[j])]
@@ -489,10 +502,13 @@ def make_windowed_train_step(step_fn):
     wall clock once each distinct patch has been uploaded once."""
 
     @jax.jit
-    def run(state, items, keys):
+    def run(state, items, base_key):
         xs, adjs, gts, adj_ts, mults = jax.tree.map(
             lambda *ts: jnp.stack(ts), *items
         )
+        # per-step keys derive in-dispatch (host-side splits round-trip the
+        # tunnel); len(items) is static per compiled window shape
+        keys = jax.random.split(base_key, len(items))
 
         def body(state, sel):
             x, adj, gt, a_t, m, key = sel
@@ -654,6 +670,14 @@ def train_normals_streaming(
     smooth_loss, smooth_n, last_valid = 0.0, 0, float("nan")
     t_start = time.time()
     aborted = False
+    if windowed:
+        # presplit every window's base key once (host numpy) — in-loop
+        # host-side splits round-trip the tunnel; per-step keys derive from
+        # the base key inside the window dispatch
+        num_windows = (iters + steps_per_call - 1) // steps_per_call
+        key, wkey = jax.random.split(key)
+        window_keys = np.asarray(jax.random.split(wkey, max(num_windows, 1)))
+        wi = 0
 
     def validate(key):
         vloss = 0.0
@@ -667,13 +691,14 @@ def train_normals_streaming(
         for item in loader:
             if windowed:
                 items, count = item
-                key, sub = jax.random.split(key)
-                keys = jax.random.split(sub, count)
+                base_key = jnp.asarray(window_keys[wi])
+                wi += 1
                 if count == steps_per_call:
-                    state, losses = run_window(state, items, keys)
+                    state, losses = run_window(state, items, base_key)
                     losses = np.asarray(losses)
                 else:
                     # final partial window: per-step on its items
+                    keys = jax.random.split(base_key, count)
                     rem = []
                     for j in range(count):
                         x, adj, gt, a_t, m = items[j]
