@@ -416,6 +416,34 @@ def train_normals(
         chunk_keys = np.asarray(jax.random.split(ckey, max(num_chunks, 1)))
         it = 0
         ci = 0
+        aborted = False
+        pending = None  # (it_end, chunk, device losses, state) — consumed
+        # one chunk late so chunk N+1 is enqueued before blocking on chunk
+        # N's loss transfer (the transfer is the only per-chunk device sync;
+        # deferring it double-buffers host bookkeeping with device compute)
+
+        def consume(p):
+            nonlocal last_valid, key, aborted
+            p_it, p_chunk, p_losses, p_state = p
+            avg = float(np.asarray(p_losses).mean())
+            loss_hist.append((avg, last_valid))
+            print(f"iter {p_it}: train loss {avg:.4f} "
+                  f"({(time.time() - t_start):.1f}s)")
+            if not np.isfinite(avg):
+                print("NaN training loss — aborting")
+                aborted = True
+                return
+            if p_it % cfg.train.save_every < p_chunk:
+                ckpt.save(start_step + p_it, p_state)
+            if valid_arrays and (p_it % cfg.train.valid_every) < p_chunk:
+                vloss = 0.0
+                for vx, vadjs, vgt, vts, vm in valid_arrays:
+                    key, sub = jax.random.split(key)
+                    vloss += float(
+                        eval_fn(p_state.params, vx, vadjs, vgt, sub, vts, vm)
+                    )
+                last_valid = vloss / len(valid_arrays)
+
         while it < iters:
             chunk = min(steps_per_call, iters - it)
             idxs = jnp.asarray(rng.integers(num_patches, size=steps_per_call))
@@ -425,7 +453,6 @@ def train_normals(
             if chunk == steps_per_call:
                 state, losses = run(state, xs, s_adjs, gts, idxs, base_key,
                                     s_adj_ts, s_mults)
-                losses = np.asarray(losses)
             else:
                 # remainder chunk: per-step execution so exactly
                 # num_iterations optimizer updates are applied
@@ -438,23 +465,14 @@ def train_normals(
                     rem.append(float(loss))
                 losses = np.asarray(rem)
             it += chunk
-            avg = float(losses.mean())
-            loss_hist.append((avg, last_valid))
-            print(f"iter {it}: train loss {avg:.4f} "
-                  f"({(time.time() - t_start):.1f}s)")
-            if not np.isfinite(avg):
-                print("NaN training loss — aborting")
-                break
-            if it % cfg.train.save_every < chunk:
-                ckpt.save(start_step + it, state)
-            if valid_arrays and (it % cfg.train.valid_every) < chunk:
-                vloss = 0.0
-                for vx, vadjs, vgt, vts, vm in valid_arrays:
-                    key, sub = jax.random.split(key)
-                    vloss += float(
-                        eval_fn(state.params, vx, vadjs, vgt, sub, vts, vm)
-                    )
-                last_valid = vloss / len(valid_arrays)
+            if pending is not None:
+                consume(pending)
+                if aborted:
+                    pending = None
+                    break
+            pending = (it, chunk, losses, state)
+        if pending is not None:
+            consume(pending)
     else:
         for it in range(iters):
             if it > 0 and it % cfg.train.save_every == 0:
