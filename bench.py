@@ -93,7 +93,9 @@ def build_step_runner(steps=20, subdiv=5, bf16=True, lane=True):
     return run_steps, args, info
 
 
-def measure(steps=20, repeats=3, subdiv=5, bf16=False, lane=True):
+def measure(steps=20, repeats=3, subdiv=5, bf16=True, lane=True):
+    # bf16 default matches build_step_runner and the production config the
+    # CLI selects (the CLI still forces f32 for --cpu / --f32)
     """Sustained training throughput: `steps` full train steps run inside one
     jitted lax.scan (keys presplit on host), timed over `repeats` dispatches.
     This measures device throughput, not per-dispatch host/tunnel latency —
@@ -201,13 +203,12 @@ def measure_sharded(steps=20, repeats=3, subdiv=5, num_shards=None):
     }
 
 
-def measure_dp(steps=20, repeats=3, subdiv=5):
-    """Data-parallel step throughput per chip (scanned dispatch, full fast
-    path): with B = device count, per-chip edges/s should match the plain
-    single-chip step (VERDICT round-1 item 2 'done' criterion)."""
+def build_dp_runner(steps=20, subdiv=5, num_patches=1):
+    """Build + compile + warm the DP scanned-step program (shared by
+    :func:`measure_dp` and ``tools/op_profile.py --dp``). Returns
+    ``(run, args, mesh, info)``; call ``run(*args)`` under ``with mesh``."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fgc_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -223,24 +224,39 @@ def measure_dp(steps=20, repeats=3, subdiv=5):
 
     n_dev = len(jax.devices())
     mesh = make_mesh((n_dev, 1), ("data", "graph"))
-    patch = build_bench_patch(subdiv=subdiv)
+    patches = [build_bench_patch(subdiv=subdiv, seed=i)
+               for i in range(num_patches)]
     cfg = default_config().replace(model={"compute_dtype": "bfloat16"})
-    bank = jax.tree.map(jnp.asarray, build_patch_bank([patch], cfg))
-    edges = count_edges(patch) * n_dev          # per step, summed over chips
+    bank = jax.tree.map(jnp.asarray, build_patch_bank(patches, cfg))
+    edges = count_edges(patches[0]) * n_dev     # per step, summed over chips
 
     state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
     step_fn = make_dp_train_step(tx, cfg, mesh)
     run = make_dp_scanned_step(step_fn)
     idxs = jnp.zeros((steps, n_dev), jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(1), (steps, n_dev))
+    args = (state, bank, idxs, keys)
+    with mesh:
+        state, losses = run(*args)              # compile + warmup
+        _ = float(losses[-1])
+    info = {"edges_per_step": edges, "devices": n_dev}
+    return run, args, mesh, info
+
+
+def measure_dp(steps=20, repeats=3, subdiv=5):
+    """Data-parallel step throughput per chip (scanned dispatch, full fast
+    path): with B = device count, per-chip edges/s should match the plain
+    single-chip step (VERDICT round-1 item 2 'done' criterion)."""
+    import jax
+
+    run, args, mesh, info = build_dp_runner(steps=steps, subdiv=subdiv)
+    edges, n_dev = info["edges_per_step"], info["devices"]
 
     with mesh:
-        keys = jax.random.split(jax.random.PRNGKey(1), (steps, n_dev))
-        state, losses = run(state, bank, idxs, keys)
-        _ = float(losses[-1])
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            state, losses = run(state, bank, idxs, keys)
+            state, losses = run(*args)
             _ = float(losses[-1])
             times.append((time.perf_counter() - t0) / steps)
     times.sort()

@@ -37,22 +37,47 @@ def icosphere(subdiv: int = 3) -> Tuple[np.ndarray, np.ndarray]:
         dtype=np.int64,
     )
     for _ in range(subdiv):
-        cache, vlist, new_faces = {}, list(verts), []
-
-        def midpoint(a, b):
-            key = (min(a, b), max(a, b))
-            if key not in cache:
-                mid = (np.asarray(vlist[a]) + np.asarray(vlist[b])) / 2.0
-                cache[key] = len(vlist)
-                vlist.append(mid / np.linalg.norm(mid))
-            return cache[key]
-
-        for a, b, c in faces:
-            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
-        faces = np.asarray(new_faces, dtype=np.int64)
-        verts = np.asarray(vlist)
+        verts, faces = subdivide_mesh(verts, faces, project_unit=True)
     return verts.astype(np.float32), faces.astype(np.int32)
+
+
+def subdivide_mesh(
+    verts: np.ndarray, faces: np.ndarray, project_unit: bool = False
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One 4:1 midpoint (Loop-topology) subdivision step, fully vectorized —
+    no per-face Python loop, so multi-million-facet meshes build in seconds.
+    Each edge gets one midpoint vertex (deduped across faces); with
+    ``project_unit`` midpoints are renormalized onto the unit sphere
+    (icosphere refinement)."""
+    verts = np.asarray(verts, dtype=np.float64)
+    faces = np.asarray(faces, dtype=np.int64)
+    nv = verts.shape[0]
+    nf = faces.shape[0]
+    # the three edges of every face, canonical (lo, hi) keying for dedup
+    e = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
+    )
+    lo = e.min(axis=1)
+    hi = e.max(axis=1)
+    key = lo * nv + hi
+    uniq, inv = np.unique(key, return_inverse=True)
+    mid = (verts[uniq // nv] + verts[uniq % nv]) * 0.5
+    if project_unit:
+        mid /= np.linalg.norm(mid, axis=1, keepdims=True)
+    ab = inv[:nf] + nv
+    bc = inv[nf : 2 * nf] + nv
+    ca = inv[2 * nf :] + nv
+    a, b, c = faces[:, 0], faces[:, 1], faces[:, 2]
+    new_faces = np.concatenate(
+        [
+            np.stack([a, ab, ca], axis=1),
+            np.stack([b, bc, ab], axis=1),
+            np.stack([c, ca, bc], axis=1),
+            np.stack([ab, bc, ca], axis=1),
+        ],
+        axis=0,
+    )
+    return np.concatenate([verts, mid], axis=0), new_faces.astype(np.int64)
 
 
 def torus(

@@ -230,6 +230,36 @@ def lane_tables(
     return adjT, np.ascontiguousarray(adjT_t.T)
 
 
+def lane_tables_pre(
+    adj_nbr: np.ndarray, num_sources: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pre-derived lane gather tables: ``(adjT0, validF, idxT, validT)``.
+
+    The lane gather's in-graph index math — ``max(adjT−1, 0)`` clamping,
+    ``adjT_t > 0`` validity masks — is loop-INVARIANT for a fixed graph and
+    hoisted out of scan bodies by XLA. When the tables are themselves
+    *selected per step* from a stacked patch bank (DP / scanned multi-patch
+    training), that math turns loop-variant and XLA re-materializes
+    ~2.6 ms/step of it (measured, BASELINE.md DP row). Deriving it ONCE per
+    patch here and ``jnp.take``-ing the derived arrays restores the
+    loop-invariant cost profile.
+
+    - ``adjT0`` [K, N] int32: zero-based clamped forward table
+      (``max(adjT−1, 0)``; padding slots gather node 0's finite values).
+    - ``validF`` [K, N] bool: forward padding mask — needed only by
+      consumers that must see zeros in padding slots (the rotation-invariant
+      feature path); the default conv's ``mult_rows`` zeroes padding q.
+    - ``idxT`` [S, N] int32 / ``validT`` [S, N] bool: zero-based backward
+      slot map + validity mask over flat ``k·N + n`` slots.
+    """
+    adjT, adjT_t = lane_tables(adj_nbr, num_sources)
+    adjT0 = np.maximum(adjT - 1, 0).astype(np.int32)
+    validF = adjT > 0
+    idxT = np.maximum(adjT_t - 1, 0).astype(np.int32)
+    validT = adjT_t > 0
+    return adjT0, validF, idxT, validT
+
+
 def invert_permutation(perm: np.ndarray) -> np.ndarray:
     """Inverse permutation, sized to cover max(len, max+1) like the reference
     ``inv_perm`` (utils.py:1830-1835)."""

@@ -267,7 +267,7 @@ def unet_apply_nminor(
     alpha: float = 0.1,
     variant: FacetConvVariant = FacetConvVariant.DEFAULT,
     compute_dtype=None,
-    lane: bool = False,
+    lane: Union[bool, str] = False,
 ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Node-minor forward pass — the TPU fast path.
 
@@ -280,7 +280,11 @@ def unet_apply_nminor(
     per-level fused [K+1, N] multipliers (trainer `_patch_arrays(nminor=…)`).
     With ``lane=True`` they are instead the TRANSPOSED [K, N] K-lists and
     lane slot maps (graph.convert.lane_tables) and the convs gather along
-    the lane axis — zero gather-boundary transposes.
+    the lane axis — zero gather-boundary transposes. With ``lane="pre"``
+    they are the pre-derived packs from graph.convert.lane_tables_pre
+    (``adjs`` = (adjT0, validF) tuples, ``adj_ts`` = (idxT, validT),
+    ``mult_rows`` = (rows, gate)) — the form used when tables are selected
+    per step from a stacked patch bank.
     Input ``x`` [N, C] and outputs [N, out] keep the public orientation;
     the transposes at the boundary are node-count × small-channel arrays.
     """

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from facet_graph_convolution_tpu.ops.gather import (
     gather_neighbors,
     gather_neighbors_lane,
+    gather_neighbors_lane_pre,
     neighbor_counts,
 )
 
@@ -410,10 +411,21 @@ def facet_conv_nminor(
     :func:`facet_graph_convolution_tpu.graph.convert.fused_mult_rows`
     (slot 0 = self): multiplicity × 1/deg, 0 on padding. ``adj`` [N, K]
     lists neighbours only (self split out), ``adj_t`` its transpose map.
+
+    With ``lane="pre"`` the tables are the PRE-DERIVED pack from
+    :func:`facet_graph_convolution_tpu.graph.convert.lane_tables_pre`:
+    ``adj`` = (adjT0, validF), ``adj_t`` = (idxT, validT), and ``mult_rows``
+    = (rows, gate) with ``gate`` the precomputed [N] real-node mask — the
+    form used when tables are selected per step from a stacked patch bank
+    (DP / scanned multi-patch training), keeping the scan body take-only.
     """
     if variant == FacetConvVariant.ROTATION_INVARIANT:
         return _facet_conv_nminor_rotinv(params, x_t, adj, adj_t, mult_rows,
                                          compute_dtype, lane)
+    gate = None
+    if lane == "pre":
+        adj, _ = adj                     # validF unused: mult_rows zeroes q
+        mult_rows, gate = mult_rows
     u, c, w, b = params["u"], params["c"], params["w"], params["b"]
     dtype = compute_dtype or x_t.dtype
     in_ch, n = x_t.shape
@@ -423,7 +435,11 @@ def facet_conv_nminor(
     vx_t = proj @ x_t                                          # [M, N]
     ux_t = u @ x_t                                             # [M, N]
     cat_t = jnp.concatenate([x_t, vx_t], axis=0).astype(dtype)  # [C+M, N]
-    if lane:
+    if lane == "pre":
+        idxT, validT = adj_t
+        nbr_g = gather_neighbors_lane_pre(cat_t, adj, idxT, validT)
+        nbr_t = jnp.concatenate([cat_t[:, None, :], nbr_g], axis=1)
+    elif lane:
         # clamped: padding slots gather finite garbage, provably zeroed by
         # the mult_rows multiply on q below — saves the zero-column pad
         nbr_g = gather_neighbors_lane(cat_t, adj, adj_t, clamped=True)
@@ -446,9 +462,11 @@ def facet_conv_nminor(
     y_t = jnp.einsum("oz,zn->on", wf.astype(dtype), z_t,
                      preferred_element_type=jnp.float32)
     # bias where deg > 0 (reference biasMask, model.py:496-500); with the
-    # self slot always present this gates only all-padding rows
-    gate = (jnp.sum(mult_rows, axis=0) > 0).astype(y_t.dtype)
-    return y_t + b[:, None] * gate[None, :]
+    # self slot always present this gates only all-padding rows; pre mode
+    # carries the gate precomputed so the reduce isn't re-derived per step
+    if gate is None:
+        gate = jnp.sum(mult_rows, axis=0) > 0
+    return y_t + b[:, None] * gate.astype(y_t.dtype)[None, :]
 
 
 def _facet_conv_nminor_rotinv(params, x_t, adj, adj_t, mult_rows,
@@ -460,11 +478,23 @@ def _facet_conv_nminor_rotinv(params, x_t, adj, adj_t, mult_rows,
     is analytic (rotated self-normal = +z, relative position 0) so
     self-split graphs need no extra gather."""
     u, c, w, b = params["u"], params["c"], params["w"], params["b"]
+    gate = None
+    if lane == "pre":
+        mult_rows, gate = mult_rows
     dtype = compute_dtype or x_t.dtype
     in_ch, n = x_t.shape
     m, out_ch, _ = w.shape
 
-    if lane:
+    if lane == "pre":
+        # RI features normalize gathered vectors, so padding slots must be
+        # zero (validF), not clamped garbage
+        adjT0, validF = adj
+        idxT, validT = adj_t
+        nbr_g = gather_neighbors_lane_pre(x_t, adjT0, idxT, validT,
+                                          validF=validF)        # [C, K, N]
+        x_nbr = jnp.transpose(nbr_g, (2, 1, 0))                 # [N, K, C]
+        nbr_t = jnp.concatenate([x_t[:, None, :], nbr_g], axis=1)
+    elif lane:
         nbr_g = gather_neighbors_lane(x_t, adj, adj_t)          # [C, K, N]
         x_nbr = jnp.transpose(nbr_g, (2, 1, 0))                 # [N, K, C]
         nbr_t = jnp.concatenate([x_t[:, None, :], nbr_g], axis=1)
@@ -486,8 +516,9 @@ def _facet_conv_nminor_rotinv(params, x_t, adj, adj_t, mult_rows,
     wf = jnp.transpose(w, (1, 0, 2)).reshape(out_ch, m * in_ch)
     y_t = jnp.einsum("oz,zn->on", wf.astype(dtype), z_t,
                      preferred_element_type=jnp.float32)
-    gate = (jnp.sum(mult_rows, axis=0) > 0).astype(y_t.dtype)
-    return y_t + b[:, None] * gate[None, :]
+    if gate is None:
+        gate = jnp.sum(mult_rows, axis=0) > 0
+    return y_t + b[:, None] * gate.astype(y_t.dtype)[None, :]
 
 
 def facet_conv_gather(

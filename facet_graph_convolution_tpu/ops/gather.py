@@ -144,6 +144,55 @@ def gather_neighbors_lane(
     return _gather_lane(x_t, adjT, adjT_t)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _gather_lane_pre(x_t, adjT0, idxT, validT):
+    return jnp.take(x_t, adjT0, axis=1)
+
+
+def _gather_lane_pre_fwd(x_t, adjT0, idxT, validT):
+    return _gather_lane_pre(x_t, adjT0, idxT, validT), (idxT, validT)
+
+
+def _gather_lane_pre_bwd(res, g):
+    # identical math to _gather_lane_bwd with the clamp/compare already done
+    # host-side (graph.convert.lane_tables_pre): nothing here depends on the
+    # raw one-indexed tables, so a per-step bank selection of idxT/validT
+    # costs only the takes themselves
+    idxT, validT = res
+    c = g.shape[0]
+    g_flat = g.reshape(c, -1)
+    dx = jnp.take(g_flat, idxT, axis=1)                 # [C, S, N]
+    dx = jnp.sum(dx * validT.astype(g_flat.dtype)[None], axis=1)
+    return dx, None, None, None
+
+
+_gather_lane_pre.defvjp(_gather_lane_pre_fwd, _gather_lane_pre_bwd)
+
+
+def gather_neighbors_lane_pre(
+    x_t: jnp.ndarray,
+    adjT0: jnp.ndarray,
+    idxT: jnp.ndarray,
+    validT: jnp.ndarray,
+    validF: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Lane-axis gather over PRE-DERIVED tables
+    (:func:`facet_graph_convolution_tpu.graph.convert.lane_tables_pre`):
+    same semantics as :func:`gather_neighbors_lane` but with the clamp /
+    validity index math done once host-side, so per-step table selection
+    from a stacked patch bank stays take-only (see lane_tables_pre).
+
+    Without ``validF`` this is the ``clamped=True`` contract (padding slots
+    gather node 0's finite values — the consumer must provably zero them,
+    e.g. via ``mult_rows``); passing ``validF`` multiplies padding slots to
+    zero, matching the zero-column form (safe for consumers that normalize
+    gathered vectors, e.g. the rotation-invariant feature path)."""
+    out = _gather_lane_pre(x_t, adjT0, idxT, validT)
+    if validF is not None:
+        out = out * validF.astype(out.dtype)[None]
+    return out
+
+
 def neighbor_counts(adj: jnp.ndarray) -> jnp.ndarray:
     """Non-zero entries per row — the conv's degree normalizer, counting the
     self slot (reference ``tf.count_nonzero(adj, 2)``, model.py:436)."""

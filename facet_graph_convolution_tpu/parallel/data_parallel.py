@@ -70,7 +70,11 @@ def build_patch_bank(patches: Sequence[FacetPatch], cfg: Config):
     target = max(p.num_nodes for p in patches)
     target = ((target + group - 1) // group) * group
     padded = [pad_patch_to(p, target) for p in patches]
-    arrays = [_patch_arrays(p) for p in padded]
+    # pre-derived lane tables: the per-device patch is selected INSIDE the
+    # compiled step, so the clamp/mask/gate index math must be staged in the
+    # bank, not re-derived per step (graph.convert.lane_tables_pre — closes
+    # the measured ~2.6 ms/step DP gap, BASELINE.md)
+    arrays = [_patch_arrays(p, lane="pre") for p in padded]
     return _stack_patch_arrays(arrays)
 
 
@@ -231,6 +235,7 @@ def train_normals_dp(
     loss_hist: List[Tuple[float, float]] = []
     losses: List[float] = []
     last_valid = float("nan")
+    aborted = False
     t_start = time.time()
 
     def validate(state, key):
@@ -275,6 +280,7 @@ def train_normals_dp(
                       f"({time.time() - t_start:.1f}s)")
                 if not np.isfinite(avg):
                     print("NaN training loss — aborting")
+                    aborted = True
                     break
                 if ckpt is not None and it % cfg.train.save_every < chunk:
                     ckpt.save(start_step + it, state)
@@ -294,12 +300,15 @@ def train_normals_dp(
                           f"({time.time() - t_start:.1f}s)")
                     if not np.isfinite(avg):
                         print("NaN training loss — aborting")
+                        aborted = True
                         break
                 if ckpt is not None and it > 0 and it % cfg.train.save_every == 0:
                     ckpt.save(start_step + it, state)
 
     if ckpt is not None:
-        ckpt.save(start_step + iters, state)
+        if not aborted:
+            # never persist a NaN-poisoned state as the final checkpoint
+            ckpt.save(start_step + iters, state)
         ckpt.close()
     if loss_hist and jax.process_index() == 0:
         os.makedirs(cfg.train.network_path, exist_ok=True)

@@ -164,7 +164,7 @@ def _bucketed(patch: FacetPatch, align: int) -> FacetPatch:
 
 def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
                   split_self: bool = True, nminor: bool = True,
-                  pallas: bool = False, lane: bool = True,
+                  pallas: bool = False, lane=True,
                   to_device: bool = True):
     """Compile the patch graph for the train step: dedupe duplicate K-list
     slots into multiplicity weights, split the self slot out (its features
@@ -190,7 +190,7 @@ def _patch_arrays(patch: FacetPatch, optimize_graph: bool = True,
 
 
 def _graph_arrays(adjs_raw, split_self: bool = True, nminor: bool = True,
-                  pallas: bool = False, lane: bool = True,
+                  pallas: bool = False, lane=True,
                   to_device: bool = True):
     """Per-level optimized graph arrays ``(adjs, adj_ts, mults)`` from raw
     one-indexed K-lists — the forms :func:`_apply_model` dispatches on.
@@ -224,7 +224,22 @@ def _graph_arrays(adjs_raw, split_self: bool = True, nminor: bool = True,
                 mults.append({"pallas_rows": conv(rows)})
                 continue
             if nminor:
-                rows = conv(fused_mult_rows(mult_n, self_mult))
+                rows_np = fused_mult_rows(mult_n, self_mult)
+                rows = conv(rows_np)
+                if lane == "pre":
+                    # pre-derived tables: clamp/mask/gate index math done
+                    # here, once per patch, so per-step bank selection stays
+                    # take-only (graph.convert.lane_tables_pre)
+                    from facet_graph_convolution_tpu.graph.convert import (
+                        lane_tables_pre,
+                    )
+
+                    adjT0, validF, idxT, validT = lane_tables_pre(a_u)
+                    gate = rows_np.sum(axis=0) > 0
+                    adjs.append((conv(adjT0), conv(validF)))
+                    adj_ts.append((conv(idxT), conv(validT)))
+                    mults.append({"rows_lane_pre": (rows, conv(gate))})
+                    continue
                 if lane:
                     from facet_graph_convolution_tpu.graph.convert import (
                         lane_tables,
@@ -257,6 +272,14 @@ def _apply_model(params, x, adjs, adj_ts, mults, *, steps, variant, alpha,
                 [mm["pallas_rows"] for mm in mults],
                 coarsening_steps=steps, multi_scale=multi_scale,
                 variant=variant, alpha=alpha, compute_dtype=compute_dtype,
+            )
+        if "rows_lane_pre" in mults[0]:
+            return unet_apply_nminor(
+                params, x, adjs, adj_ts,
+                [mm["rows_lane_pre"] for mm in mults],
+                coarsening_steps=steps, multi_scale=multi_scale,
+                variant=variant, alpha=alpha, compute_dtype=compute_dtype,
+                lane="pre",
             )
         if "rows_lane" in mults[0]:
             return unet_apply_nminor(
@@ -394,7 +417,12 @@ def train_normals(
     valid_patches = (
         [_bucketed(p, bucket_align) for p in valid_set.patches] if valid_set else []
     )
-    arrays = [_patch_arrays(p) for p in patches]
+    # scanned selection picks each step's tables from stacked arrays inside
+    # the scan body — use the pre-derived lane form so the body stays
+    # take-only (graph.convert.lane_tables_pre); single-dispatch steps keep
+    # the plain lane form (tables are closure constants, XLA hoists)
+    lane_mode = "pre" if steps_per_call > 1 else True
+    arrays = [_patch_arrays(p, lane=lane_mode) for p in patches]
     valid_arrays = [_patch_arrays(p) for p in valid_patches]
 
     rng = np.random.default_rng(cfg.train.seed)
@@ -474,12 +502,14 @@ def train_normals(
         if pending is not None:
             consume(pending)
     else:
+        aborted = False
         for it in range(iters):
             if it > 0 and it % cfg.train.save_every == 0:
-                ckpt.save(start_step + it, state)
                 if not np.isfinite(float(smooth_loss)):
                     print("NaN training loss — aborting at checkpoint")
+                    aborted = True
                     break
+                ckpt.save(start_step + it, state)
             idx = int(rng.integers(len(arrays)))
             x, adjs, gt, adj_ts, mults = arrays[idx]
             key, sub = jax.random.split(key)
@@ -502,7 +532,10 @@ def train_normals(
                 last_valid = vloss / len(valid_arrays)
                 print(f"iter {it}: validation loss {last_valid:.4f}")
 
-    ckpt.save(start_step + iters, state)
+    if not aborted:
+        # a NaN abort leaves ``state`` poisoned (and, on the scanned path,
+        # advanced past the NaN chunk) — never persist it as the final ckpt
+        ckpt.save(start_step + iters, state)
     ckpt.close()
     hist = np.asarray(loss_hist, dtype=np.float64)
     csv_path = os.path.join(cfg.train.network_path, cfg.train.net_name + ".csv")
@@ -613,7 +646,7 @@ def train_normals_streaming(
         def prepare(patch, idx):
             if idx not in prepared:
                 prepared[idx] = _patch_arrays(pad_patch_to(patch, target),
-                                              to_device=False)
+                                              lane="pre", to_device=False)
                 while len(prepared) > max_prepared:
                     prepared.popitem(last=False)
             else:
@@ -644,7 +677,7 @@ def train_normals_streaming(
                         # only when a width bump outlives the host LRU)
                         prepared[idx] = _patch_arrays(
                             pad_patch_to(ds.patch(idx), target),
-                            to_device=False,
+                            lane="pre", to_device=False,
                         )
                     dev = jax.device_put(_pad_to_dims(prepared[idx], dims))
                     dev_memo[idx] = (version[0], dev)

@@ -207,6 +207,12 @@ void* obj_parse(const char* path, int64_t* n_verts, int64_t* n_tris) {
     if (*p == 'v' && (p + 1 < end) && (p[1] == ' ' || p[1] == '\t')) {
       ++p;
       for (int i = 0; i < 3; ++i) {
+        // position at the token ourselves: strtof_l skips '\n' as leading
+        // whitespace, so a short 'v' line followed by a line starting with
+        // a number would silently pull coords across lines (the Python
+        // loader raises on the ragged vertex list instead)
+        p = skip_ws(p, end);
+        if (p >= end || *p == '\n') { ok = false; break; }
         char* q;
         const float v = strtof_l(p, &q, c_loc);
         if (q == p) { ok = false; break; }  // <3 coords — Python raises too

@@ -169,3 +169,21 @@ def test_obj_parse_truncated_last_line(tmp_path):
         pytest.skip("native graph library unavailable")
     with pytest.raises(OSError):
         native_mod.parse_obj_native(str(p))
+
+
+def test_obj_parse_short_vertex_line_midfile(tmp_path):
+    """A mid-file 'v' line with <3 coords followed by a line starting with a
+    number must be refused, not silently completed with the next line's
+    numbers (strtof skips '\\n' as leading whitespace — the parser must bound
+    each coordinate scan at the line end; the Python path raises on the
+    ragged vertex list)."""
+    from facet_graph_convolution_tpu.graph import native as native_mod
+
+    p = tmp_path / "ragged.obj"
+    p.write_text("v 0 0\n1 2 3\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    try:
+        native_mod._load()
+    except ImportError:
+        pytest.skip("native graph library unavailable")
+    with pytest.raises(OSError):
+        native_mod.parse_obj_native(str(p))

@@ -273,3 +273,101 @@ def test_lane_gather_matches_row_gather(rng):
     g_row = jax.jit(jax.grad(f_row))(x)
     g_lane = jax.jit(jax.grad(f_lane))(x)
     np.testing.assert_allclose(np.asarray(g_lane), np.asarray(g_row), atol=1e-5)
+
+
+def test_lane_pre_gather_matches_lane(rng):
+    """gather_neighbors_lane_pre (pre-derived clamp/mask tables,
+    graph.convert.lane_tables_pre) must be bit-identical to the in-graph
+    forms in forward AND backward — masked (zero-padding) and clamped."""
+    from facet_graph_convolution_tpu.graph.convert import (
+        lane_tables,
+        lane_tables_pre,
+    )
+    from facet_graph_convolution_tpu.ops.gather import (
+        gather_neighbors_lane,
+        gather_neighbors_lane_pre,
+    )
+
+    adj = random_klist(rng)
+    n, k = adj.shape
+    adjT, adjT_t = lane_tables(adj)
+    adjT0, validF, idxT, validT = lane_tables_pre(adj)
+    x = jnp.asarray(rng.normal(size=(n, 5)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(5, k, n)).astype(np.float32))
+
+    # masked (zero-padding) semantics
+    y_lane = gather_neighbors_lane(x.T, jnp.asarray(adjT), jnp.asarray(adjT_t))
+    y_pre = gather_neighbors_lane_pre(
+        x.T, jnp.asarray(adjT0), jnp.asarray(idxT), jnp.asarray(validT),
+        validF=jnp.asarray(validF),
+    )
+    np.testing.assert_array_equal(np.asarray(y_pre), np.asarray(y_lane))
+
+    # clamped semantics (consumer must zero padding itself)
+    y_cl = gather_neighbors_lane(x.T, jnp.asarray(adjT), jnp.asarray(adjT_t),
+                                 clamped=True)
+    y_pre_cl = gather_neighbors_lane_pre(
+        x.T, jnp.asarray(adjT0), jnp.asarray(idxT), jnp.asarray(validT)
+    )
+    np.testing.assert_array_equal(np.asarray(y_pre_cl), np.asarray(y_cl))
+
+    def f_lane(x):
+        return jnp.sum(
+            gather_neighbors_lane(x.T, jnp.asarray(adjT), jnp.asarray(adjT_t))
+            * cot
+        )
+
+    def f_pre(x):
+        return jnp.sum(
+            gather_neighbors_lane_pre(
+                x.T, jnp.asarray(adjT0), jnp.asarray(idxT),
+                jnp.asarray(validT), validF=jnp.asarray(validF),
+            ) * cot
+        )
+
+    g_lane = jax.jit(jax.grad(f_lane))(x)
+    g_pre = jax.jit(jax.grad(f_pre))(x)
+    np.testing.assert_allclose(np.asarray(g_pre), np.asarray(g_lane), atol=1e-6)
+
+
+def test_patch_arrays_lane_pre_step_parity(rng):
+    """A full train step on the lane='pre' graph form matches the default
+    lane form exactly (loss and updated params) — the form the DP bank and
+    scanned multi-patch trainers stage."""
+    import optax
+
+    from facet_graph_convolution_tpu.config import default_config
+    from facet_graph_convolution_tpu.data.dataset import TrainingSet
+    from facet_graph_convolution_tpu.training.trainer import (
+        _patch_arrays,
+        create_train_state,
+        make_normals_train_step,
+    )
+    from tests.conftest import make_icosphere
+
+    v, f = make_icosphere(2)
+    noisy = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
+    ds = TrainingSet(max_patch_size=10**9, coarsening_steps=2,
+                     coarsening_levels=3, k_faces=23, seed=0)
+    ds.add_mesh(noisy, f, gt_vertices=v)
+
+    cfg = default_config().replace(
+        model={"channels": (8, 16, 32), "num_filters": 4, "fc_channels": 32},
+        train={"loss_samples": 256},
+    )
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_normals_train_step(tx, cfg)
+    key = jax.random.PRNGKey(7)
+
+    out = {}
+    for mode in (True, "pre"):
+        x, adjs, gt, adj_ts, mults = _patch_arrays(ds.patches[0], lane=mode)
+        s, loss = step(state, x, adjs, gt, key, adj_ts, mults)
+        out[mode] = (float(loss), s.params)
+    assert out[True][0] == out["pre"][0]
+    for name in out[True][1]:
+        for leaf in out[True][1][name]:
+            np.testing.assert_array_equal(
+                np.asarray(out["pre"][1][name][leaf]),
+                np.asarray(out[True][1][name][leaf]), err_msg=f"{name}/{leaf}",
+            )

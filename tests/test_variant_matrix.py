@@ -194,6 +194,40 @@ def test_rotinv_trainer_step_runs(rng):
     assert np.isfinite(float(loss))
 
 
+def test_bf16_nminor_matches_rowmajor_bounded(rng):
+    """Under compute_dtype=bfloat16 the nminor path's `_aggregate_nminor`
+    rounds per-slot products to bf16 before the f32-accumulated sum, while
+    the row-major dot_general keeps exact bf16×bf16 products (ops/conv.py).
+    This test bounds that accepted numerics drift — values AND parameter
+    gradients — so a future regression in the rounding is caught."""
+    from facet_graph_convolution_tpu.training.trainer import _graph_arrays
+
+    adjs = make_pyramid_graph(rng)
+    x = jnp.asarray(rng.normal(size=(64, 6)).astype(np.float32))
+    params = init_unet(jax.random.PRNGKey(0), in_channels=6,
+                       channels=(8, 16, 32), num_filters=4, fc_channels=32)
+
+    f_row = lambda p: unet_apply(p, x, adjs, compute_dtype=jnp.bfloat16)
+    adjs_l, adj_ts_l, mults_l = _graph_arrays([np.asarray(a) for a in adjs])
+    rows_l = [m["rows_lane"] for m in mults_l]
+    f_lane = lambda p: unet_apply_nminor(p, x, adjs_l, adj_ts_l, rows_l,
+                                         compute_dtype=jnp.bfloat16, lane=True)
+
+    y_row = np.asarray(jax.jit(f_row)(params))
+    y_lane = np.asarray(jax.jit(f_lane)(params))
+    scale = np.abs(y_row).max()
+    assert np.abs(y_lane - y_row).max() <= 0.03 * scale
+
+    g_row = jax.grad(lambda p: jnp.sum(f_row(p) ** 2))(params)
+    g_lane = jax.grad(lambda p: jnp.sum(f_lane(p) ** 2))(params)
+    for name in g_row:
+        for leaf in g_row[name]:
+            a = np.asarray(g_row[name][leaf])
+            b = np.asarray(g_lane[name][leaf])
+            denom = max(np.abs(a).max(), 1e-3)
+            assert np.abs(b - a).max() <= 0.05 * denom, (name, leaf)
+
+
 def test_rotinv_pallas_fails_loudly(rng):
     from facet_graph_convolution_tpu.models.unet import unet_apply_pallas
 

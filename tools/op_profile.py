@@ -106,7 +106,20 @@ def main():
     ap.add_argument("--subdiv", type=int, default=5)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--sharded", action="store_true")
+    ap.add_argument("--dp", action="store_true",
+                    help="profile the data-parallel scanned step")
     args = ap.parse_args()
+
+    if args.dp:
+        import bench
+
+        run, args_t, mesh, _ = bench.build_dp_runner(steps=args.steps,
+                                                     subdiv=args.subdiv)
+        with mesh:
+            xp = _capture(run, args_t)
+        print(f"xplane: {xp}\n")
+        summarize(xp, args.steps, args.top)
+        return
 
     if args.sharded:
         import bench as b
