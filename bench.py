@@ -203,10 +203,14 @@ def measure_sharded(steps=20, repeats=3, subdiv=5, num_shards=None):
     }
 
 
-def build_dp_runner(steps=20, subdiv=5, num_patches=1):
+def build_dp_runner(steps=20, subdiv=5, num_patches=1, selection="chunk"):
     """Build + compile + warm the DP scanned-step program (shared by
     :func:`measure_dp` and ``tools/op_profile.py --dp``). Returns
-    ``(run, args, mesh, info)``; call ``run(*args)`` under ``with mesh``."""
+    ``(run, args, mesh, info)``; call ``run(*args)`` under ``with mesh``.
+
+    ``selection="chunk"`` (default, the DP driver's default) pins each
+    device's patch per chunk so the tables stay loop-invariant;
+    ``"step"`` benches the per-step bank-selection variant."""
     import jax
     import jax.numpy as jnp
 
@@ -216,6 +220,7 @@ def build_dp_runner(steps=20, subdiv=5, num_patches=1):
     from facet_graph_convolution_tpu.config import default_config
     from facet_graph_convolution_tpu.parallel.data_parallel import (
         build_patch_bank,
+        make_dp_chunk_runner,
         make_dp_scanned_step,
         make_dp_train_step,
     )
@@ -231,11 +236,17 @@ def build_dp_runner(steps=20, subdiv=5, num_patches=1):
     edges = count_edges(patches[0]) * n_dev     # per step, summed over chips
 
     state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
-    step_fn = make_dp_train_step(tx, cfg, mesh)
-    run = make_dp_scanned_step(step_fn)
-    idxs = jnp.zeros((steps, n_dev), jnp.int32)
     keys = jax.random.split(jax.random.PRNGKey(1), (steps, n_dev))
-    args = (state, bank, idxs, keys)
+    if selection == "chunk":
+        select, run = make_dp_chunk_runner(tx, cfg, mesh)
+        with mesh:
+            sel = select(bank, jnp.zeros((n_dev,), jnp.int32))
+        args = (state, sel, keys)
+    else:
+        step_fn = make_dp_train_step(tx, cfg, mesh)
+        run = make_dp_scanned_step(step_fn)
+        idxs = jnp.zeros((steps, n_dev), jnp.int32)
+        args = (state, bank, idxs, keys)
     with mesh:
         state, losses = run(*args)              # compile + warmup
         _ = float(losses[-1])
@@ -243,13 +254,14 @@ def build_dp_runner(steps=20, subdiv=5, num_patches=1):
     return run, args, mesh, info
 
 
-def measure_dp(steps=20, repeats=3, subdiv=5):
+def measure_dp(steps=20, repeats=3, subdiv=5, selection="chunk"):
     """Data-parallel step throughput per chip (scanned dispatch, full fast
     path): with B = device count, per-chip edges/s should match the plain
     single-chip step (VERDICT round-1 item 2 'done' criterion)."""
     import jax
 
-    run, args, mesh, info = build_dp_runner(steps=steps, subdiv=subdiv)
+    run, args, mesh, info = build_dp_runner(steps=steps, subdiv=subdiv,
+                                            selection=selection)
     edges, n_dev = info["edges_per_step"], info["devices"]
 
     with mesh:
@@ -287,7 +299,10 @@ def main():
                              "all visible devices")
     parser.add_argument("--dp", action="store_true",
                         help="benchmark the data-parallel step (per-chip "
-                             "edges/s)")
+                             "edges/s; chunk-pinned patch selection, the "
+                             "driver default)")
+    parser.add_argument("--dp_step", action="store_true",
+                        help="with --dp: per-STEP patch selection variant")
     parser.add_argument("--shards", type=int, default=None,
                         help="shard count for --sharded (default: all devices)")
     args = parser.parse_args()
@@ -298,7 +313,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     if args.dp:
-        result = measure_dp(steps=args.steps, subdiv=args.subdiv)
+        result = measure_dp(steps=args.steps, subdiv=args.subdiv,
+                            selection="step" if args.dp_step else "chunk")
         baseline = None
         if os.path.isfile(BASELINE_FILE):
             with open(BASELINE_FILE) as fh:

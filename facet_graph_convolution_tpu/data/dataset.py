@@ -77,13 +77,16 @@ def _coarsen_with_retry(
     steps: int,
     rng: np.random.Generator,
     max_retries: int = 20,
+    reorder: Optional[str] = None,
 ) -> Tuple[List[np.ndarray], np.ndarray]:
     """Coarsen and convert back to K-lists, retrying the whole (randomized)
     coarsening whenever any level saturates K (reference
     dataClasses.py:114-131)."""
     coo = klist_to_coo_normal_weighted(adj, positions, normals)
     for _ in range(max_retries):
-        sparse_adjs, new_to_old = coarsen_graph(coo, (levels - 1) * steps, rng=rng)
+        sparse_adjs, new_to_old = coarsen_graph(
+            coo, (levels - 1) * steps, rng=rng, reorder=reorder
+        )
         klists = []
         saturated = False
         for lvl in range(levels):
@@ -104,6 +107,7 @@ def build_patch(
     rng: np.random.Generator,
     patch_indices: Optional[np.ndarray] = None,
     faces: Optional[np.ndarray] = None,      # optional local faces to co-permute
+    reorder: Optional[str] = None,
 ) -> FacetPatch:
     """Coarsen one patch and produce the tree-ordered padded record
     (reference dataClasses.py:109-158)."""
@@ -111,7 +115,8 @@ def build_patch(
     n = features.shape[0]
     if levels > 1:
         adjs, new_to_old = _coarsen_with_retry(
-            adj, features[:, -3:], features[:, :3], k, levels, steps, rng
+            adj, features[:, -3:], features[:, :3], k, levels, steps, rng,
+            reorder=reorder,
         )
         new_n = len(new_to_old)
         feat = np.zeros((new_n, features.shape[1]), features.dtype)
@@ -162,6 +167,7 @@ class MeshDataset:
         k_vertices: int = 25,
         max_edges: int = 20,
         seed: Optional[int] = None,
+        reorder: Optional[str] = "rcm",
     ):
         self.patches: List[FacetPatch] = []
         self.max_patch_size = max_patch_size
@@ -171,6 +177,11 @@ class MeshDataset:
         self.k_faces = k_faces
         self.k_vertices = k_vertices
         self.max_edges = max_edges
+        # locality-preserving coarse ordering (graph.coarsen.coarsen_graph
+        # reorder="rcm"): contiguous tree-order index blocks become spatially
+        # compact, which keeps halo partitions low-boundary on big meshes;
+        # pass None for the reference's identity coarse order
+        self.reorder = reorder
         self.rng = np.random.default_rng(seed)
         # whole-mesh data for inference reassembly
         self.edge_map: Optional[np.ndarray] = None
@@ -206,6 +217,7 @@ class MeshDataset:
                 build_patch(
                     features, adj, gt_normals,
                     self.coarsening_levels, self.coarsening_steps, self.rng,
+                    reorder=self.reorder,
                     patch_indices=np.arange(fnum),
                 )
             )
@@ -230,7 +242,7 @@ class MeshDataset:
                     features[old_idx], patch_adj,
                     None if gt_normals is None else gt_normals[old_idx],
                     self.coarsening_levels, self.coarsening_steps, self.rng,
-                    patch_indices=old_idx,
+                    patch_indices=old_idx, reorder=self.reorder,
                 )
             )
 
@@ -266,6 +278,7 @@ class MeshDataset:
                 features, adj, gt_normals,
                 self.coarsening_levels, self.coarsening_steps, self.rng,
                 patch_indices=np.arange(fnum), faces=faces,
+                reorder=self.reorder,
             )
             patch.vertices = np.asarray(vertices, np.float32)
             patch.gt_vertices = (
@@ -296,7 +309,7 @@ class MeshDataset:
                 features[f_old], padj,
                 None if gt_normals is None else gt_normals[f_old],
                 self.coarsening_levels, self.coarsening_steps, self.rng,
-                patch_indices=f_old, faces=pf,
+                patch_indices=f_old, faces=pf, reorder=self.reorder,
             )
             patch.vertices = np.asarray(pv, np.float32)
             patch.gt_vertices = None if patch_gt is None else np.asarray(patch_gt, np.float32)

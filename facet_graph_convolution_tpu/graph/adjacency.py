@@ -49,6 +49,29 @@ def face_adjacency_klist(
     if fnum == 0:
         return (fadj, 0) if return_dropped else fadj
 
+    # C++ single-pass fast path (native/graphlib.cpp face_adjacency) — the
+    # sort-based construction below moves ~10 arrays of Σ_v deg² entries
+    # through memory (seconds at 1M facets); identical output, parity-tested
+    # in tests/test_native.py
+    try:
+        from facet_graph_convolution_tpu.graph.native import (
+            face_adjacency_native,
+        )
+
+        fadj_n, dropped = face_adjacency_native(
+            faces, int(faces.max()) + 1, k
+        )
+        if dropped:
+            import warnings
+
+            warnings.warn(
+                f"face_adjacency_klist: {dropped // 2} connections dropped "
+                f"(K={k})"
+            )
+        return (fadj_n, dropped) if return_dropped else fadj_n
+    except (ImportError, OSError):
+        pass
+
     # Incidence lists: faces scanned ascending → per-vertex incidence is
     # face-ascending. A degenerate triangle listing a vertex twice records
     # the face twice here (see the docstring deviation note).

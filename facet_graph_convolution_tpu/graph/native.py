@@ -85,6 +85,11 @@ def _load() -> ctypes.CDLL:
             i8p, ctypes.c_int64,                       # mask, min_size
             i64p, i64p, i64p, i64p,                    # out_adj, old_idx, scratch new_idx, out_meta
         ]
+        lib.face_adjacency.restype = ctypes.c_int64
+        lib.face_adjacency.argtypes = [
+            i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # faces, F, V, k
+            i32p,                                       # out fadj [F, k]
+        ]
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         lib.obj_parse.restype = ctypes.c_void_p
         lib.obj_parse.argtypes = [
@@ -148,6 +153,20 @@ def parse_obj_native(path: str) -> Tuple[np.ndarray, np.ndarray]:
         raise
     lib.obj_copy(handle, verts, tris)
     return verts, tris
+
+
+def face_adjacency_native(
+    faces: np.ndarray, num_vertices: int, k: int
+) -> Tuple[np.ndarray, int]:
+    """Vertex-shared facet K-list via the C++ single-pass builder — identical
+    output to the vectorized Python path in ``graph.adjacency`` (which stays
+    as the fallback/oracle). Returns ``(fadj [F,k] int32, dropped)``."""
+    lib = _load()
+    faces = np.ascontiguousarray(faces, dtype=np.int64)
+    fnum = faces.shape[0]
+    fadj = np.zeros((fnum, k), dtype=np.int32)
+    dropped = lib.face_adjacency(faces, fnum, int(num_vertices), k, fadj)
+    return fadj, int(dropped)
 
 
 def grow_patch_native(

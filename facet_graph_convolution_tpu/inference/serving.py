@@ -66,7 +66,8 @@ class InferenceServer:
 
     def __init__(self, cfg: Optional[Config] = None, params=None,
                  bucket_align: int = 1024, solver_iterations: Optional[int] = None,
-                 include_vertices: Optional[bool] = None, seed: int = 0):
+                 include_vertices: Optional[bool] = None, seed: int = 0,
+                 max_compiled: int = 16):
         self.cfg = cfg or default_config()
         if include_vertices is None:
             include_vertices = self.cfg.model.include_vertices
@@ -81,7 +82,15 @@ class InferenceServer:
             solver_iterations or self.cfg.eval.solver_iterations
         )
         self.seed = seed
-        self._compiled: Dict[Tuple[int, ...], jax.stages.Compiled] = {}
+        # LRU-bounded: every distinct (batch, bucket-shape) key pins a
+        # compiled executable (device program + host buffers); a long-lived
+        # server over diverse mesh sizes must not accumulate them forever
+        import collections
+
+        self.max_compiled = max(int(max_compiled), 1)
+        self._compiled: "collections.OrderedDict[Tuple[int, ...], jax.stages.Compiled]" = (
+            collections.OrderedDict()
+        )
 
     # -- compiled forward cache ------------------------------------------
 
@@ -102,6 +111,7 @@ class InferenceServer:
         """AOT-compile the batched forward for (batch, per-level adj shapes)."""
         key = (batch,) + tuple(s for shape in shapes for s in shape)
         if key in self._compiled:
+            self._compiled.move_to_end(key)
             return self._compiled[key]
         forward = self._forward_fn()
         batched = jax.vmap(forward, in_axes=(None, 0, 0, 0, 0))
@@ -118,6 +128,8 @@ class InferenceServer:
         )
         compiled = jax.jit(batched).lower(*arg_shapes).compile()
         self._compiled[key] = compiled
+        while len(self._compiled) > self.max_compiled:
+            self._compiled.popitem(last=False)
         return compiled
 
     # -- serving ----------------------------------------------------------

@@ -171,7 +171,16 @@ def make_dp_train_step(
 def make_dp_scanned_step(step_fn):
     """Scan a DP step over ``[steps, B]`` index/key batches in ONE dispatch —
     the DP counterpart of the single-chip scanned trainer (dispatch latency
-    dominates per-step time on tunnel-attached TPUs)."""
+    dominates per-step time on tunnel-attached TPUs).
+
+    Per-STEP patch selection: statistically identical to the reference's
+    random-patch-per-iteration loop (train.py:558), but the in-scan bank
+    selection makes every graph table loop-variant, which defeats XLA's
+    VMEM pinning + prefetch scheduling of loop-invariant operands — a
+    measured constant ~3 ms/step (≈20% at the 20k-face bench patch; the
+    pre-derived tables and a scan-xs pre-selection variant were both
+    measured and do NOT recover it, BASELINE.md). For full per-chip
+    throughput use :func:`make_dp_chunk_runner`."""
 
     @jax.jit
     def run(state, bank, idxs, keys):
@@ -185,6 +194,107 @@ def make_dp_scanned_step(step_fn):
     return run
 
 
+def make_dp_chunk_runner(
+    tx: optax.GradientTransformation,
+    cfg: Config,
+    mesh: Mesh,
+    axis: str = "data",
+):
+    """Chunked DP: each device trains ONE fixed patch for a whole scanned
+    chunk; patches rotate across chunks (driver-side reshuffle).
+
+    Because the per-device graph tables enter the compiled program as jit
+    OPERANDS — loop-invariant across the chunk's ``lax.scan`` — XLA hoists,
+    VMEM-pins, and prefetches them exactly as in the plain single-chip step,
+    recovering full per-chip throughput (the per-step bank selection costs a
+    measured constant ~3 ms/step — see make_dp_scanned_step). The tradeoff
+    is sampling granularity: patches reshuffle every chunk instead of every
+    step, preserving the reference's random-patch semantics at chunk
+    boundaries (train.py:558 samples per iteration; with B devices × W-step
+    chunks each optimizer step still averages B patches).
+
+    Returns ``(select, run)``:
+      - ``select(bank, idx [B]) → sel``: one jitted gather staging each
+        device's patch operands from the replicated bank;
+      - ``run(state, sel, keys [W, B]) → (state, losses [W])``: the scanned
+        chunk (shard_map over the data axis; pmean-reduced grads).
+    """
+    from facet_graph_convolution_tpu.training.trainer import (
+        _apply_model,
+        _config_variant,
+    )
+
+    steps = cfg.model.coarsening_steps
+    loss_samples = cfg.train.loss_samples
+    augment = cfg.train.augment_rotations
+    compute_dtype = (
+        jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
+    )
+    variant = _config_variant(cfg)
+    alpha = cfg.model.lrelu_alpha
+
+    def per_patch_loss(params, x, adjs, adj_ts, mults, gt, key):
+        rot_key, samp_key = jax.random.split(key)
+        if augment:
+            rot = random_rotation(rot_key)
+            x = rotate_inputs(rot, x)
+            gt = rotate_vec3(rot, gt)
+        sample_idx = jax.random.randint(samp_key, (loss_samples,), 0, x.shape[0])
+        y = _apply_model(
+            params, x, adjs, adj_ts, mults, steps=steps, variant=variant,
+            alpha=alpha, compute_dtype=compute_dtype,
+        )
+        y = normalize_tensor(y)
+        return face_normals_loss(
+            jnp.take(y, sample_idx, axis=0), jnp.take(gt, sample_idx, axis=0)
+        )
+
+    @jax.jit
+    def select(bank, idx):
+        return jax.tree.map(lambda t: jnp.take(t, idx, axis=0), bank)
+
+    @jax.jit
+    def run(state, sel, keys):
+        xs, adjs, gts, adj_ts, mults = sel
+
+        def shard_body(params_and_opt, xs, adjs, gts, adj_ts, mults, keys):
+            # leading [1] batch dim on this shard's operands: drop it so the
+            # per-patch program is byte-identical to the single-chip step
+            sq = lambda t: t[0]
+            x, gt = sq(xs), sq(gts)
+            a = jax.tree.map(sq, adjs)
+            a_t = jax.tree.map(sq, adj_ts)
+            m = jax.tree.map(sq, mults)
+
+            def body(state, key):
+                loss, grads = jax.value_and_grad(per_patch_loss)(
+                    state.params, x, a, a_t, m, gt, key
+                )
+                grads = jax.lax.pmean(grads, axis)
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                params = optax.apply_updates(state.params, updates)
+                return (
+                    TrainState(params, opt_state, state.step + 1),
+                    jax.lax.pmean(loss, axis),
+                )
+
+            return jax.lax.scan(body, params_and_opt, keys[:, 0])
+
+        return jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(), jax.tree.map(lambda _: P(axis), xs),
+                      jax.tree.map(lambda _: P(axis), adjs),
+                      jax.tree.map(lambda _: P(axis), gts),
+                      jax.tree.map(lambda _: P(axis), adj_ts),
+                      jax.tree.map(lambda _: P(axis), mults),
+                      P(None, axis)),
+            out_specs=(P(), P()),
+        )(state, xs, adjs, gts, adj_ts, mults, keys)
+
+    return select, run
+
+
 def train_normals_dp(
     cfg: Config,
     train_set,
@@ -194,12 +304,20 @@ def train_normals_dp(
     log_every: int = 50,
     steps_per_call: int = 1,
     checkpoint: bool = False,
+    selection: str = "chunk",
 ):
     """Data-parallel training driver (the multi-patch generalization of the
     reference's one-patch-per-step loop, train.py:549-624): every step
     samples one patch per device along the ``data`` axis; full driver
     contract (checkpoint/resume, validation sweep, loss CSV, NaN abort) as
-    the single-chip ``train_normals``."""
+    the single-chip ``train_normals``.
+
+    ``selection`` (scanned path only, ``steps_per_call > 1``): ``"chunk"``
+    (default) pins each device to one patch per scanned chunk and reshuffles
+    at chunk boundaries — full per-chip throughput, tables loop-invariant
+    (make_dp_chunk_runner); ``"step"`` samples a patch per device per STEP
+    like the reference loop, paying a measured constant ~3 ms/step for the
+    in-scan bank selection (make_dp_scanned_step)."""
     from facet_graph_convolution_tpu.training.checkpoint import CheckpointManager
     from facet_graph_convolution_tpu.training.trainer import create_train_state
 
@@ -252,7 +370,12 @@ def train_normals_dp(
 
     with mesh:
         if steps_per_call > 1:
-            run = make_dp_scanned_step(step_fn)
+            if selection == "chunk":
+                chunk_select, chunk_run = make_dp_chunk_runner(
+                    tx, cfg, mesh, axis=axis
+                )
+            else:
+                run = make_dp_scanned_step(step_fn)
             it = 0
             while it < iters:
                 chunk = min(steps_per_call, iters - it)
@@ -261,7 +384,11 @@ def train_normals_dp(
                 )
                 key, sub = jax.random.split(key)
                 keys = jax.random.split(sub, (steps_per_call, batch))
-                if chunk == steps_per_call:
+                if chunk == steps_per_call and selection == "chunk":
+                    sel = chunk_select(bank, idxs[0])
+                    state, chunk_losses = chunk_run(state, sel, keys)
+                    chunk_losses = np.asarray(chunk_losses)
+                elif chunk == steps_per_call:
                     state, chunk_losses = run(state, bank, idxs, keys)
                     chunk_losses = np.asarray(chunk_losses)
                 else:

@@ -143,6 +143,55 @@ int64_t grow_patch(
   return count;
 }
 
+// Vertex-shared facet adjacency K-list (reference getFacesLargeAdj,
+// utils.py:243-295; exact semantics of the vectorized Python builder in
+// facet_graph_convolution_tpu/graph/adjacency.py, which documents the one
+// degenerate-face deviation from the reference). faces: [F,3] (0-indexed),
+// fadj: [F,k] int32 pre-zeroed output (slot 0 = self, one-indexed, filled
+// here). Returns the number of dropped directed connections (overflow past
+// k-1 neighbours). Single pass over per-vertex incidence pairs — no sorts,
+// no large temporaries (the sort-based Python path moves ~10 arrays of
+// Σ_v deg² entries through memory; at 1.3M facets that is seconds on a
+// bandwidth-poor host, ~0.2 s here).
+int64_t face_adjacency(
+    const int64_t* faces, int64_t fnum, int64_t vnum, int64_t k,
+    int32_t* fadj) {
+  // CSR incidence: faces scanned ascending => per-vertex lists ascending;
+  // a degenerate face with a repeated vertex records once per occurrence
+  std::vector<int64_t> off(vnum + 1, 0);
+  for (int64_t i = 0; i < fnum * 3; ++i) off[faces[i] + 1]++;
+  for (int64_t v = 0; v < vnum; ++v) off[v + 1] += off[v];
+  std::vector<int64_t> inc(fnum * 3);
+  std::vector<int64_t> cur(off.begin(), off.end() - 1);
+  for (int64_t f = 0; f < fnum; ++f)
+    for (int j = 0; j < 3; ++j) inc[cur[faces[f * 3 + j]]++] = f;
+
+  std::vector<int32_t> cnt(fnum, 0);   // filled neighbour slots per face
+  int64_t dropped = 0;
+  for (int64_t f = 0; f < fnum; ++f) fadj[f * k] = static_cast<int32_t>(f) + 1;
+  for (int64_t v = 0; v < vnum; ++v) {
+    const int64_t s = off[v], e = off[v + 1];
+    for (int64_t i = s; i < e; ++i) {
+      const int64_t a = inc[i];
+      for (int64_t j = i + 1; j < e; ++j) {
+        const int64_t b = inc[j];
+        // reference order: b into a's list, then a into b's list
+        if (cnt[a] < k - 1) {
+          fadj[a * k + 1 + cnt[a]++] = static_cast<int32_t>(b) + 1;
+        } else {
+          dropped++;
+        }
+        if (cnt[b] < k - 1) {
+          fadj[b * k + 1 + cnt[b]++] = static_cast<int32_t>(a) + 1;
+        } else {
+          dropped++;
+        }
+      }
+    }
+  }
+  return dropped;
+}
+
 // ---------------------------------------------------------------------------
 // OBJ parser fast path. Exact semantics of the Python loader
 // (facet_graph_convolution_tpu/geometry/obj_io.load_obj, which mirrors the

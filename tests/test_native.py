@@ -171,6 +171,49 @@ def test_obj_parse_truncated_last_line(tmp_path):
         native_mod.parse_obj_native(str(p))
 
 
+def test_face_adjacency_native_parity(rng):
+    """C++ face_adjacency == vectorized Python builder bit-for-bit, including
+    which connections drop at K overflow (reference getFacesLargeAdj
+    semantics, utils.py:243-295)."""
+    import os
+
+    from facet_graph_convolution_tpu.graph import native as native_mod
+    from facet_graph_convolution_tpu.graph.adjacency import face_adjacency_klist
+    from tests.conftest import make_icosphere
+
+    try:
+        native_mod._load()
+    except ImportError:
+        pytest.skip("native graph library unavailable")
+
+    cases = []
+    v, f = make_icosphere(2)
+    cases.append((f, 23))
+    cases.append((f, 7))          # force overflow drops
+    # random sliver-free soup: shared vertices with high degrees
+    fr = rng.integers(0, 40, size=(200, 3))
+    fr = fr[(fr[:, 0] != fr[:, 1]) & (fr[:, 1] != fr[:, 2]) & (fr[:, 0] != fr[:, 2])]
+    cases.append((fr, 23))
+    cases.append((fr, 9))
+
+    for faces, k in cases:
+        faces = np.asarray(faces, dtype=np.int64)
+        a_nat, d_nat = native_mod.face_adjacency_native(
+            faces, int(faces.max()) + 1, k
+        )
+        os.environ["FGC_DISABLE_NATIVE"] = "1"
+        try:
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                a_py, d_py = face_adjacency_klist(faces, k, return_dropped=True)
+        finally:
+            del os.environ["FGC_DISABLE_NATIVE"]
+        np.testing.assert_array_equal(a_nat, a_py, err_msg=f"k={k}")
+        assert d_nat == d_py, (k, d_nat, d_py)
+
+
 def test_obj_parse_short_vertex_line_midfile(tmp_path):
     """A mid-file 'v' line with <3 coords followed by a line starting with a
     number must be refused, not silently completed with the next line's

@@ -52,6 +52,31 @@ def test_server_batch_matches_single():
     assert len(server._compiled) == 2
 
 
+def test_server_compiled_cache_lru_bounded():
+    """A long-lived server over many distinct bucket shapes must hold at most
+    ``max_compiled`` executables (LRU eviction), and an evicted shape must
+    still serve correctly on re-request (recompile)."""
+    cfg = _cfg()
+    state, _ = create_train_state(jax.random.PRNGKey(0), cfg)
+    server = InferenceServer(cfg, params=state.params, bucket_align=16,
+                             max_compiled=3)
+    rng = np.random.default_rng(1)
+    v, f = icosphere(2)
+    noisy = add_vertex_noise(v, f, 0.1, rng)
+
+    # distinct batch sizes give distinct cache keys with one mesh topology
+    first = server.denoise_batch([(noisy, f)])
+    for b in (2, 3, 4, 5):
+        server.denoise_batch([(noisy, f)] * b)
+        assert len(server._compiled) <= 3
+    assert len(server._compiled) == 3
+    # batch=1 was evicted (LRU); re-request recompiles and matches
+    again = server.denoise_batch([(noisy, f)])
+    np.testing.assert_allclose(again[0][0], first[0][0], atol=1e-5)
+    np.testing.assert_allclose(again[0][1], first[0][1], atol=1e-5)
+    assert len(server._compiled) == 3
+
+
 def test_export_roundtrip(tmp_path):
     cfg = _cfg()
     state, _ = create_train_state(jax.random.PRNGKey(0), cfg)
