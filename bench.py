@@ -174,20 +174,23 @@ def measure_sharded(steps=20, repeats=3, subdiv=5, num_shards=None):
     mask = jnp.asarray(mask)
 
     @jax.jit
-    def run_steps(state, x, gt, mask):
+    def run_steps(state, x, gt, mask, ops):
+        # ops as jit ARGS — closing over the step would embed the graph
+        # tables as HLO constants (see make_sharded_train_step.raw)
         def body(state, _):
-            state, loss = step_fn(state, x, gt, mask)
+            state, loss = step_fn.raw(state, x, gt, mask, None, ops)
             return state, loss
 
         return jax.lax.scan(body, state, None, length=steps)
 
+    ops = step_fn.operands
     with mesh:
-        state, losses = run_steps(state, x, gt, mask)    # compile + warmup
+        state, losses = run_steps(state, x, gt, mask, ops)  # compile + warmup
         _ = float(losses[-1])
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            state, losses = run_steps(state, x, gt, mask)
+            state, losses = run_steps(state, x, gt, mask, ops)
             _ = float(losses[-1])
             times.append((time.perf_counter() - t0) / steps)
     times.sort()

@@ -628,21 +628,31 @@ def _sharded_conv_nminor_rotinv(params, x_t, ops, offsets, axis,
 def sharded_unet_forward_local_nminor(
     params, x, level_operands, offsets_per_level, axis,
     coarsening_steps=2, alpha=0.1, multi_scale=False, compute_dtype=None,
-    variant=FacetConvVariant.DEFAULT,
+    variant=FacetConvVariant.DEFAULT, remat=False,
 ):
     """Node-minor U-Net forward on one shard (inside shard_map): mirrors
     ``unet_apply_nminor`` with halo-extended convs and shard-local node-minor
     tree pool/unpool. ``x`` [n, C] in, outputs [n, out] — the [C, n]
-    orientation is internal, transposed only at the public boundary."""
+    orientation is internal, transposed only at the public boundary.
+
+    ``remat=True`` checkpoints every conv (and the wide fc head): the
+    backward recomputes each conv's halo exchange + gather + softmax instead
+    of saving the [C+M, K, n] neighbour tensors and the [1024, n] fc
+    activations — the memory regime that fits multi-million-node shards
+    (per-conv residuals alone exceed HBM at ~1.6M nodes on one chip)."""
     from facet_graph_convolution_tpu.ops.conv import per_conv_variants
 
     ops0, ops1, ops2 = level_operands
     o0, o1, o2 = offsets_per_level
     v_first, v_rest = per_conv_variants(variant)
+    ckpt = jax.checkpoint if remat else (lambda f: f)
 
     def conv(p, h_t, ops, offs, var=v_rest):
-        return _sharded_conv_nminor(p, h_t, ops, offs, axis, variant=var,
-                                    compute_dtype=compute_dtype)
+        def apply(p, h_t):
+            return _sharded_conv_nminor(p, h_t, ops, offs, axis, variant=var,
+                                        compute_dtype=compute_dtype)
+
+        return ckpt(apply)(p, h_t)
 
     def lin(name, h_t):
         p = params[name]
@@ -678,8 +688,12 @@ def sharded_unet_forward_local_nminor(
         conv(params["dconv1"], jnp.concatenate([u1, h1], axis=0), ops0, o0),
         alpha,
     )
-    h = lrelu(lin("fc1", d1), alpha)
-    y_fine = lin("out0", h).T
+
+    def head(fc1, out0, d1):
+        h = lrelu(fc1["w"].T @ d1 + fc1["b"][:, None], alpha)
+        return (out0["w"].T @ h + out0["b"][:, None]).T
+
+    y_fine = ckpt(head)(params["fc1"], params["out0"], d1)
     if multi_scale:
         return y_fine, y_mid, y_coarse
     return y_fine
@@ -838,12 +852,16 @@ def make_sharded_train_step(
     mesh: Mesh,
     axis: str = "graph",
     layout: str = "nminor",
+    remat: bool = False,
 ):
     """Full training step over an edge-partitioned graph: each shard computes
     the loss on its owned nodes; gradients are psum-reduced by shard_map's
     partitioned autodiff. ``layout`` as in :func:`sharded_unet_apply`;
     ``cfg.model.compute_dtype`` selects bf16 mixed precision on the
-    node-minor path (matching the single-chip trainer)."""
+    node-minor path (matching the single-chip trainer). ``remat`` (node-minor
+    only) checkpoints each conv + the fc head — required when per-shard node
+    counts reach the multi-hundred-k regime (see
+    sharded_unet_forward_local_nminor)."""
     steps = cfg.model.coarsening_steps
     nminor = layout == "nminor"
     operands = (partition_operands_nminor if nminor else partition_operands)(part)
@@ -891,7 +909,7 @@ def make_sharded_train_step(
                 y = sharded_unet_forward_local_nminor(
                     params, x_block, level_ops, offsets, axis,
                     coarsening_steps=steps, compute_dtype=compute_dtype,
-                    variant=variant,
+                    variant=variant, remat=remat,
                 )
             else:
                 y = sharded_unet_forward_local(
@@ -938,6 +956,13 @@ def make_sharded_train_step(
     step.eval = lambda params, x, gt, sample_mask: _eval(
         params, x, gt, sample_mask, operands
     )
+    # callers that wrap the step in an OUTER jit (e.g. a lax.scan over
+    # steps) must pass the tables as arguments of that outer jit — tracing
+    # the `step` closure inside another jit would embed the concrete table
+    # arrays as HLO constants (~400 chars/node of program text; a 1.6M-node
+    # graph then exceeds compile-request limits)
+    step.raw = _step
+    step.operands = operands
     return step
 
 

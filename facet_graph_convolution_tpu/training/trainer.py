@@ -810,15 +810,26 @@ def make_vertex_train_step(
 ):
     """(state, patch arrays, key) → (state, loss). ``normals_weight > 0``
     adds the angular term, giving the reference's double-loss trainer
-    (train.py:919-1267)."""
+    (train.py:919-1267).
+
+    The returned step carries:
+    - ``step.eval(params, …)`` — loss only, NO backward (the reference
+      evaluates its validation loss without a train op too,
+      train.py:859-888; running the full step and discarding the update
+      pays forward AND backward through the 120-iteration solver);
+    - ``step.scanned(state, args, keys [W])`` — W steps on ONE patch in a
+      single jitted ``lax.scan`` dispatch (dispatch latency dominates
+      per-step time on tunnel-attached TPUs; the patch arrays stay
+      loop-invariant jit operands, same strategy as the chunk-DP runner).
+    """
     steps = cfg.model.coarsening_steps
     samples = cfg.train.chamfer_samples
     iter_nums = cfg.eval.ms_solver_iterations
     variant = _config_variant(cfg)
     alpha = cfg.model.lrelu_alpha
 
-    def step(state, x, adjs, vertices, gt_vertices, faces, v_faces,
-             gt_normals, key, adj_ts=None, mults=None):
+    def _loss(params, x, adjs, vertices, gt_vertices, faces, v_faces,
+              gt_normals, key, adj_ts, mults):
         rot_key, s0_key, s1_key = jax.random.split(key, 3)
         rot = random_rotation(rot_key)
         x_rot = rotate_inputs(rot, x)
@@ -827,30 +838,59 @@ def make_vertex_train_step(
         idx0 = jax.random.randint(s0_key, (samples,), 0, vertices.shape[0])
         idx1 = jax.random.randint(s1_key, (samples,), 0, gt_vertices.shape[0])
 
-        def loss_fn(params):
-            y0, y1, y2 = _apply_model(
-                params, x_rot, adjs, adj_ts, mults, steps=steps,
-                variant=variant, alpha=alpha, multi_scale=True,
-            )
-            n0 = normalize_tensor(y0)
-            n1 = normalize_tensor(y1)
-            n2 = normalize_tensor(y2)
-            refined, _ = update_positions_multiscale(
-                v_rot, [n0, n1, n2], faces, v_faces,
-                coarsening_steps=steps, iter_nums=iter_nums,
-            )
-            loss = full_chamfer_loss(refined, gtv_rot, idx0, idx1)
-            if normals_weight > 0 and gt_normals is not None:
-                gtn_rot = rotate_vec3(rot, gt_normals)
-                loss = loss + normals_weight * face_normals_loss(n0, gtn_rot)
-            return loss
+        y0, y1, y2 = _apply_model(
+            params, x_rot, adjs, adj_ts, mults, steps=steps,
+            variant=variant, alpha=alpha, multi_scale=True,
+        )
+        n0 = normalize_tensor(y0)
+        n1 = normalize_tensor(y1)
+        n2 = normalize_tensor(y2)
+        refined, _ = update_positions_multiscale(
+            v_rot, [n0, n1, n2], faces, v_faces,
+            coarsening_steps=steps, iter_nums=iter_nums,
+        )
+        loss = full_chamfer_loss(refined, gtv_rot, idx0, idx1)
+        if normals_weight > 0 and gt_normals is not None:
+            gtn_rot = rotate_vec3(rot, gt_normals)
+            loss = loss + normals_weight * face_normals_loss(n0, gtn_rot)
+        return loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    def _update(state, loss, grads):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
-    return jax.jit(step)
+    def step(state, x, adjs, vertices, gt_vertices, faces, v_faces,
+             gt_normals, key, adj_ts=None, mults=None):
+        loss, grads = jax.value_and_grad(_loss)(
+            state.params, x, adjs, vertices, gt_vertices, faces, v_faces,
+            gt_normals, key, adj_ts, mults,
+        )
+        return _update(state, loss, grads)
+
+    @jax.jit
+    def scanned(state, args, keys):
+        x, adjs, vertices, gt_vertices, faces, v_faces, gt_normals, adj_ts, mults = args
+
+        def body(state, key):
+            loss, grads = jax.value_and_grad(_loss)(
+                state.params, x, adjs, vertices, gt_vertices, faces,
+                v_faces, gt_normals, key, adj_ts, mults,
+            )
+            return _update(state, loss, grads)
+
+        return jax.lax.scan(body, state, keys)
+
+    step_jit = jax.jit(step)
+    step_jit.eval = jax.jit(  # type: ignore[attr-defined]
+        lambda params, x, adjs, vertices, gt_vertices, faces, v_faces,
+               gt_normals, key, adj_ts=None, mults=None: _loss(
+            params, x, adjs, vertices, gt_vertices, faces, v_faces,
+            gt_normals, key, adj_ts, mults,
+        )
+    )
+    step_jit.scanned = scanned  # type: ignore[attr-defined]
+    return step_jit
 
 
 def train_with_vertices(
@@ -859,10 +899,23 @@ def train_with_vertices(
     valid_set: Optional[MeshDataset] = None,
     num_iterations: Optional[int] = None,
     normals_weight: float = 0.0,
+    steps_per_call: int = 1,
+    log_every: int = 10,
 ) -> Tuple[TrainState, np.ndarray]:
     """End-to-end vertex training (reference ``trainAccuracyNet``,
     train.py:636-914): gradients flow from the chamfer loss through the
-    120-iteration vertex solver into the U-Net."""
+    120-iteration vertex solver into the U-Net.
+
+    Driver contract matches ``train_normals``: Orbax checkpoint/resume, NaN
+    abort (skipping the final save of a poisoned state), eval-only
+    validation, and the ``<network_path>/<net_name>.csv`` loss-history
+    artifact (reference writes one too, train.py:899-904).
+
+    ``steps_per_call > 1`` runs chunks of steps in ONE jitted ``lax.scan``
+    dispatch with the patch pinned per chunk (patches rotate at chunk
+    boundaries — vertex patches have per-patch V/N shapes, so they cannot be
+    stacked for in-scan selection; pinning also keeps the arrays
+    loop-invariant, which is the faster regime anyway, see chunk-DP)."""
     iters = num_iterations or cfg.train.num_iterations
     key = jax.random.PRNGKey(cfg.train.seed)
     state, tx = create_train_state(key, cfg, multi_scale=True)
@@ -890,34 +943,86 @@ def train_with_vertices(
         [vertex_args(p) for p in valid_set.patches] if valid_set is not None else []
     )
 
-    rng = np.random.default_rng(cfg.train.seed)
-    loss_hist = []
-    save_every = min(cfg.train.save_every, 500)   # reference uses 500 here
-    for it in range(iters):
-        if it > 0 and it % save_every == 0:
-            ckpt.save(start_step + it, state)
-        idx = int(rng.integers(len(arrays)))
-        x, adjs, v, gtv, faces, v_faces, gtn, adj_ts, mults = arrays[idx]
-        key, sub = jax.random.split(key)
-        state, loss = step_fn(state, x, adjs, v, gtv, faces, v_faces, gtn,
-                              sub, adj_ts, mults)
-        loss_hist.append(float(loss))
-        if it % 10 == 0:
-            print(f"iter {it}: loss {float(loss):.4f}")
-        if valid_args and it % cfg.train.valid_every == 0:
-            # validation with the training step's loss at fixed params: run
-            # the forward/solver/chamfer without applying the update — reuse
-            # the step on a throwaway state copy (reference evaluates
-            # customLoss separately, train.py:859-888)
-            vloss = 0.0
-            for vargs in valid_args:
-                key, sub = jax.random.split(key)
-                vx, vadjs, vv, vgtv, vf, vvf, vgtn, vts, vm = vargs
-                _, vl = step_fn(state, vx, vadjs, vv, vgtv, vf, vvf, vgtn,
-                                sub, vts, vm)
-                vloss += float(vl)
-            print(f"iter {it}: validation loss {vloss / len(valid_args):.4f}")
+    def validate(state, key):
+        # eval-only jit: forward + solver + chamfer, no backward (the
+        # reference evaluates customLoss without the train op, train.py:859)
+        vloss = 0.0
+        for vargs in valid_args:
+            key, sub = jax.random.split(key)
+            vx, vadjs, vv, vgtv, vf, vvf, vgtn, vts, vm = vargs
+            vloss += float(step_fn.eval(state.params, vx, vadjs, vv, vgtv,
+                                        vf, vvf, vgtn, sub, vts, vm))
+        return vloss / len(valid_args), key
 
-    ckpt.save(start_step + iters, state)
+    rng = np.random.default_rng(cfg.train.seed)
+    loss_hist: List[Tuple[float, float]] = []
+    last_valid = float("nan")
+    aborted = False
+    t_start = time.time()
+    save_every = min(cfg.train.save_every, 500)   # reference uses 500 here
+    if steps_per_call > 1:
+        it = 0
+        while it < iters and not aborted:
+            chunk = min(steps_per_call, iters - it)
+            idx = int(rng.integers(len(arrays)))
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, chunk)
+            if chunk == steps_per_call:
+                state, losses = step_fn.scanned(state, arrays[idx], keys)
+                losses = np.asarray(losses)
+            else:
+                x, adjs, v, gtv, faces, v_faces, gtn, adj_ts, mults = arrays[idx]
+                rem = []
+                for j in range(chunk):
+                    state, loss = step_fn(state, x, adjs, v, gtv, faces,
+                                          v_faces, gtn, keys[j], adj_ts, mults)
+                    rem.append(float(loss))
+                losses = np.asarray(rem)
+            it += chunk
+            avg = float(losses.mean())
+            if valid_args and (it % cfg.train.valid_every) < chunk:
+                last_valid, key = validate(state, key)
+            loss_hist.append((avg, last_valid))
+            print(f"iter {it}: vertex loss {avg:.4f} "
+                  f"({time.time() - t_start:.1f}s)")
+            if not np.isfinite(avg):
+                print("NaN training loss — aborting")
+                aborted = True
+                break
+            if it % save_every < chunk:
+                ckpt.save(start_step + it, state)
+    else:
+        for it in range(iters):
+            if it > 0 and it % save_every == 0:
+                if loss_hist and not np.isfinite(loss_hist[-1][0]):
+                    print("NaN training loss — aborting at checkpoint")
+                    aborted = True
+                    break
+                ckpt.save(start_step + it, state)
+            idx = int(rng.integers(len(arrays)))
+            x, adjs, v, gtv, faces, v_faces, gtn, adj_ts, mults = arrays[idx]
+            key, sub = jax.random.split(key)
+            state, loss = step_fn(state, x, adjs, v, gtv, faces, v_faces, gtn,
+                                  sub, adj_ts, mults)
+            if valid_args and it % cfg.train.valid_every == 0:
+                last_valid, key = validate(state, key)
+                print(f"iter {it}: validation loss {last_valid:.4f}")
+            loss_hist.append((float(loss), last_valid))
+            if it % log_every == 0:
+                print(f"iter {it}: loss {float(loss):.4f} "
+                      f"({time.time() - t_start:.1f}s)")
+            if not np.isfinite(float(loss)):
+                print("NaN training loss — aborting")
+                aborted = True
+                break
+
+    if not aborted:
+        ckpt.save(start_step + iters, state)
     ckpt.close()
-    return state, np.asarray(loss_hist)
+    hist = np.asarray(loss_hist, dtype=np.float64)
+    # same artifact contract as train_normals (reference train.py:899-904)
+    os.makedirs(cfg.train.network_path, exist_ok=True)
+    csv_path = os.path.join(cfg.train.network_path, cfg.train.net_name + ".csv")
+    with open(csv_path, "ab") as fh:
+        np.savetxt(fh, hist, delimiter=",")
+    return state, hist

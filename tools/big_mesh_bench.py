@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--prep_only", action="store_true")
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="checkpoint convs + fc head (required when the "
+                         "per-shard node count exceeds the HBM-residual "
+                         "regime, e.g. >=1M nodes on one chip)")
     args = ap.parse_args()
 
     import numpy as np
@@ -115,7 +119,8 @@ def main():
         mesh = make_mesh((1, n_dev), ("data", "graph"))
         cfg = default_config().replace(model={"compute_dtype": "bfloat16"})
         state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
-        step_fn = make_sharded_train_step(tx, cfg, part, mesh)
+        step_fn = make_sharded_train_step(tx, cfg, part, mesh,
+                                          remat=args.remat)
 
         x = jnp.asarray(patch.inputs)
         gt = jnp.asarray(patch.gt_normals)
@@ -125,23 +130,26 @@ def main():
         mask = jnp.asarray(mask)
 
         @jax.jit
-        def run_steps(state, x, gt, mask):
+        def run_steps(state, x, gt, mask, ops):
+            # ops as jit ARGS: closing over them would embed the graph
+            # tables as HLO constants (see make_sharded_train_step.raw)
             def body(state, _):
-                state, loss = step_fn(state, x, gt, mask)
+                state, loss = step_fn.raw(state, x, gt, mask, None, ops)
                 return state, loss
 
             return jax.lax.scan(body, state, None, length=args.steps)
 
         with mesh:
             t0 = time.time()
-            state, losses = run_steps(state, x, gt, mask)
+            state, losses = run_steps(state, x, gt, mask, step_fn.operands)
             _ = float(losses[-1])
             log("compile_and_first_run", time.time() - t0,
                 loss=float(losses[-1]))
             times = []
             for _ in range(args.repeats):
                 t0 = time.perf_counter()
-                state, losses = run_steps(state, x, gt, mask)
+                state, losses = run_steps(state, x, gt, mask,
+                                          step_fn.operands)
                 _ = float(losses[-1])
                 times.append((time.perf_counter() - t0) / args.steps)
         times.sort()
