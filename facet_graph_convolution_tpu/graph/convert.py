@@ -104,22 +104,28 @@ def dedupe_klist(adj: np.ndarray):
     ``mult.sum(-1)`` = original non-zero count.
     """
     n, k = adj.shape
-    adj64 = adj.astype(np.int64)
+    adj32 = np.ascontiguousarray(adj, dtype=np.int32)
     # sort each row's entries (zeros first), count runs of equal values
-    order = np.argsort(adj64, axis=1, kind="stable")
-    sorted_adj = np.take_along_axis(adj64, order, axis=1)
-    new = np.ones_like(sorted_adj, dtype=bool)
-    new[:, 1:] = sorted_adj[:, 1:] != sorted_adj[:, :-1]
-    new &= sorted_adj > 0
+    # (int32/int8 throughout — int64 temporaries double the memory traffic
+    # of the preprocessing hot path on bandwidth-poor hosts)
+    order = np.argsort(adj32, axis=1, kind="stable")
+    sorted_adj = np.take_along_axis(adj32, order, axis=1)
+    new = np.ones_like(sorted_adj, dtype=np.int8)
+    np.not_equal(sorted_adj[:, 1:], sorted_adj[:, :-1], out=new[:, 1:].view(bool))
+    valid = sorted_adj > 0
+    new &= valid
     # unique rank per row
-    rank = np.cumsum(new, axis=1) - 1
+    rank = np.cumsum(new, axis=1, dtype=np.int32) - 1
     k_u = int(rank.max()) + 1 if n else 1
     adj_u = np.zeros((n, k_u), dtype=np.int32)
-    mult = np.zeros((n, k_u), dtype=np.float32)
-    rows = np.broadcast_to(np.arange(n)[:, None], adj64.shape)
-    valid = sorted_adj > 0
-    np.maximum.at(adj_u, (rows[valid], rank[valid]), sorted_adj[valid].astype(np.int32))
-    np.add.at(mult, (rows[valid], rank[valid]), 1.0)
+    rows = np.broadcast_to(np.arange(n, dtype=np.int64)[:, None], adj32.shape)
+    rv, kv = rows[valid], rank[valid]
+    # duplicates form runs of EQUAL values at equal (row, rank): a plain
+    # fancy-index assignment (last write wins) is exact, unlike a general
+    # scatter — and far cheaper than np.maximum.at's per-element ufunc loop
+    adj_u[rv, kv] = sorted_adj[valid]
+    flat = rv * k_u + kv
+    mult = np.bincount(flat, minlength=n * k_u).reshape(n, k_u).astype(np.float32)
     return adj_u, mult
 
 
@@ -186,8 +192,8 @@ def transpose_adjacency(adj: np.ndarray, num_targets: Optional[int] = None) -> n
     n, k = adj.shape
     if num_targets is None:
         num_targets = n
-    flat = adj.reshape(-1).astype(np.int64)          # one-indexed targets
-    slots = np.arange(n * k, dtype=np.int64)
+    flat = adj.reshape(-1).astype(np.int32)          # one-indexed targets
+    slots = np.arange(n * k, dtype=np.int32)
     valid = flat > 0
     targets = flat[valid] - 1
     slots = slots[valid]
@@ -200,7 +206,7 @@ def transpose_adjacency(adj: np.ndarray, num_targets: Optional[int] = None) -> n
     starts = np.flatnonzero(new)
     counts = np.diff(np.append(starts, targets.shape[0]))
     k_t = int(counts.max())
-    rank = np.arange(targets.shape[0]) - np.repeat(starts, counts)
+    rank = np.arange(targets.shape[0], dtype=np.int64) - np.repeat(starts, counts)
     adj_t = np.zeros((num_targets, k_t), dtype=np.int32)
     adj_t[targets, rank] = slots + 1
     return adj_t

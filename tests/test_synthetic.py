@@ -47,6 +47,53 @@ def test_box_closed_watertight():
     assert np.all(dots > 0)
 
 
+def test_chamfered_box_watertight_manifold():
+    from facet_graph_convolution_tpu.data.synthetic import chamfered_box
+
+    v, f = chamfered_box(8)
+    assert np.all(border_faces(f) == 0)
+    edges = np.sort(
+        np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), axis=1
+    )
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert np.all(counts == 2)                  # watertight 2-manifold
+    assert np.all(triangle_areas(v, f) > 1e-9)  # no degenerate faces
+    # outward winding: positive signed volume ≈ cube minus chamfer cuts
+    p0, p1, p2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    vol = np.sum(np.einsum("ij,ij->i", p0.astype(np.float64),
+                           np.cross(p1, p2).astype(np.float64))) / 6.0
+    assert 0.6 < vol < 1.0
+
+
+def test_cylinder_on_plate_watertight_manifold():
+    from facet_graph_convolution_tpu.data.synthetic import cylinder_on_plate
+
+    v, f = cylinder_on_plate(32, n_h=3, n_r=3)
+    assert np.all(border_faces(f) == 0)
+    edges = np.sort(
+        np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), axis=1
+    )
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert np.all(counts == 2)
+    assert np.all(triangle_areas(v, f) > 1e-9)
+    p0, p1, p2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    vol = np.sum(np.einsum("ij,ij->i", p0.astype(np.float64),
+                           np.cross(p1, p2).astype(np.float64))) / 6.0
+    expect = np.pi * (1.0**2 * 0.2 + 0.45**2 * 0.8)
+    assert abs(vol - expect) / expect < 0.05
+
+
+def test_subdivide_mesh_structure():
+    from facet_graph_convolution_tpu.data.synthetic import subdivide_mesh
+
+    v, f = icosphere(1)
+    v2, f2 = subdivide_mesh(v, f)
+    assert f2.shape[0] == 4 * f.shape[0]
+    # V' = V + E (one midpoint per edge); Euler: E = V + F − 2
+    assert v2.shape[0] == v.shape[0] + (v.shape[0] + f.shape[0] - 2)
+    assert np.all(border_faces(f2) == 0)
+
+
 def test_noise_scaling():
     v, f = icosphere(2)
     el, _ = average_edge_length(v, f)

@@ -30,6 +30,10 @@ def log(stage, seconds, **kw):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--subdiv", type=int, default=8)
+    ap.add_argument("--shape", choices=("icosphere", "torus"),
+                    default="icosphere")
+    ap.add_argument("--torus_nu", type=int, default=1024)
+    ap.add_argument("--torus_nv", type=int, default=512)
     ap.add_argument("--shards", type=int, default=None)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--repeats", type=int, default=2)
@@ -46,11 +50,18 @@ def main():
     from facet_graph_convolution_tpu.data.synthetic import (
         add_vertex_noise,
         icosphere,
+        torus,
     )
 
     t0 = time.time()
-    v, f = icosphere(args.subdiv)
-    log("icosphere", time.time() - t0, faces=int(f.shape[0]))
+    if args.shape == "torus":
+        # 2·nu·nv faces: nu=1024, nv=512 → 1,048,576 — the smallest ≥1M
+        # config (the icosphere jumps 327k → 1.31M between subdivs; 1.59M
+        # pyramid nodes measure a 15.56G program — past one v5e's HBM)
+        v, f = torus(nu=args.torus_nu, nv=args.torus_nv)
+    else:
+        v, f = icosphere(args.subdiv)
+    log(args.shape, time.time() - t0, faces=int(f.shape[0]))
 
     t0 = time.time()
     noisy = add_vertex_noise(v, f, 0.2, np.random.default_rng(0))
