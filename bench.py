@@ -287,6 +287,89 @@ def measure_dp(steps=20, repeats=3, subdiv=5, selection="chunk"):
     }
 
 
+def build_vertex_runner(steps=10, subdiv=4, bf16=True):
+    """Build + compile + warm the scanned end-to-end VERTEX training program
+    (multiScale forward → 120-iteration multi-scale solver → sampled chamfer;
+    reference ``trainAccuracyNet`` semantics, train.py:636-914). Shared by
+    :func:`measure_vertex` and ``tools/op_profile.py --vertex`` so the
+    profiler profiles exactly the program the benchmark times."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fgc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from facet_graph_convolution_tpu.config import default_config
+    from facet_graph_convolution_tpu.data.dataset import TrainingSet
+    from facet_graph_convolution_tpu.data.synthetic import (
+        add_vertex_noise,
+        icosphere,
+    )
+    from facet_graph_convolution_tpu.training.trainer import (
+        _graph_arrays,
+        create_train_state,
+        make_vertex_train_step,
+    )
+
+    v, f = icosphere(subdiv)
+    noisy = add_vertex_noise(v, f, 0.15, np.random.default_rng(0))
+    ds = TrainingSet(max_patch_size=10**9, coarsening_steps=2,
+                     coarsening_levels=3, k_faces=23, seed=0)
+    ds.add_mesh_with_vertices(noisy, f, gt_vertices=v)
+    p = ds.patches[0]
+
+    cfg = default_config()
+    if bf16:
+        cfg = cfg.replace(model={"compute_dtype": "bfloat16"})
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg,
+                                   multi_scale=True)
+    step_fn = make_vertex_train_step(tx, cfg)
+    adjs, adj_ts, mults = _graph_arrays(p.adjs)
+    patch_args = (
+        jnp.asarray(p.inputs), adjs, jnp.asarray(p.vertices),
+        jnp.asarray(p.gt_vertices), jnp.asarray(p.faces),
+        jnp.asarray(p.v_faces),
+        None if p.gt_normals is None else jnp.asarray(p.gt_normals),
+        adj_ts, mults,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(1), steps)
+    run = step_fn.scanned
+    state, losses = run(state, patch_args, keys)         # compile + warmup
+    _ = float(losses[-1])
+    info = {
+        "nodes": int(p.num_nodes),
+        "vertices": int(p.vertices.shape[0]),
+        "solver_iterations": int(sum(default_config().eval.ms_solver_iterations)),
+    }
+    return run, (state, patch_args, keys), info
+
+
+def measure_vertex(steps=10, repeats=3, subdiv=4, bf16=True):
+    """Sustained end-to-end vertex training step wall-clock (scan-dispatched,
+    gradients through the full 120-iteration solver)."""
+    import jax
+
+    run, args, info = build_vertex_runner(steps=steps, subdiv=subdiv,
+                                          bf16=bf16)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, losses = run(*args)
+        _ = float(losses[-1])
+        times.append((time.perf_counter() - t0) / steps)
+    times.sort()
+    median = times[len(times) // 2]
+    return {
+        "median_step_s": median,
+        "best_step_s": times[0],
+        "nodes": info["nodes"],
+        "vertices": info["vertices"],
+        "platform": jax.default_backend(),
+        "final_loss": float(losses[-1]),
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true",
@@ -306,6 +389,9 @@ def main():
                              "driver default)")
     parser.add_argument("--dp_step", action="store_true",
                         help="with --dp: per-STEP patch selection variant")
+    parser.add_argument("--vertex", action="store_true",
+                        help="benchmark the end-to-end vertex training step "
+                             "(chamfer through the 120-iteration solver)")
     parser.add_argument("--shards", type=int, default=None,
                         help="shard count for --sharded (default: all devices)")
     args = parser.parse_args()
@@ -314,6 +400,20 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.vertex:
+        result = measure_vertex(steps=min(args.steps, 10),
+                                subdiv=min(args.subdiv, 4),
+                                bf16=not args.f32)
+        print(json.dumps({
+            "metric": "vertex_train_step_ms",
+            "value": round(result["median_step_s"] * 1e3, 2),
+            "unit": "ms/step",
+            "vs_baseline": -1.0,
+            "nodes": result["nodes"],
+            "vertices": result["vertices"],
+        }))
+        return
 
     if args.dp:
         result = measure_dp(steps=args.steps, subdiv=args.subdiv,

@@ -636,3 +636,37 @@ def test_sharded_vertex_driver_contract(tmp_path):
         cfg, ds.patches[0], mesh, num_iterations=2, checkpoint=True,
     )
     assert int(state2.step) >= 6
+
+
+def test_partition_million_nodes_bounded_time():
+    """Host partitioner at the million-facet regime (BASELINE.md scaling row;
+    SURVEY §7.2 step 6): a 1,048,576-node fine level plus two coarser levels
+    partitions for 8 shards in bounded wall time. The per-remote-edge dict
+    remap this vectorized slot-map replaced (parallel/halo.py) extrapolated
+    to minutes-to-hours at this size."""
+    import time
+
+    rng = np.random.default_rng(0)
+    n, k = 1 << 20, 8
+    adjs = []
+    sz = n
+    for _ in range(3):
+        idx = np.arange(sz, dtype=np.int64)
+        adj = np.zeros((sz, k), np.int32)
+        adj[:, 0] = idx + 1                          # self slot
+        adj[:, 1] = ((idx + 1) % sz) + 1             # banded ring neighbours
+        adj[:, 2] = ((idx - 1) % sz) + 1
+        adj[:, 3] = ((idx + 17) % sz) + 1
+        # non-banded remote edges so the halo remap does real work
+        adj[:, 4] = rng.integers(0, sz, size=sz) + 1
+        adjs.append(adj)
+        sz //= 4
+
+    t0 = time.time()
+    part = build_partition(adjs, 8)
+    elapsed = time.time() - t0
+    assert part.fine.num_nodes == n
+    assert part.fine.block == n // 8
+    # generous bound for loaded hosts; the regression this guards is
+    # per-edge Python (minutes at 1M nodes), not constant factors
+    assert elapsed < 180.0, f"1M-node partition took {elapsed:.1f}s"

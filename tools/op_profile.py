@@ -108,7 +108,21 @@ def main():
     ap.add_argument("--sharded", action="store_true")
     ap.add_argument("--dp", action="store_true",
                     help="profile the data-parallel scanned step")
+    ap.add_argument("--vertex", action="store_true",
+                    help="profile the end-to-end vertex training step "
+                         "(chamfer through the 120-iteration solver)")
     args = ap.parse_args()
+
+    if args.vertex:
+        import bench
+
+        run, args_t, info = bench.build_vertex_runner(
+            steps=args.steps, subdiv=min(args.subdiv, 4))
+        xp = _capture(run, args_t)
+        print(f"xplane: {xp}  ({info['nodes']} nodes, "
+              f"{info['vertices']} vertices)\n")
+        summarize(xp, args.steps, args.top)
+        return
 
     if args.dp:
         import bench
