@@ -78,10 +78,13 @@ def partition_index_map(
         valid = rows[rows >= 0]
         remote = np.unique(valid[(valid < s * block) | (valid >= (s + 1) * block)])
         groups = {}
-        for o in np.unique(owner(remote)):
-            d = int(o) - s
-            groups[d] = remote[owner(remote) == o]
-            offsets_set.add(d)
+        owners = owner(remote)
+        # remote is sorted ⇒ owners non-decreasing: split at owner boundaries
+        bounds = np.searchsorted(owners, np.arange(num_shards + 1))
+        for o in np.unique(owners):
+            o = int(o)
+            groups[o - s] = remote[bounds[o] : bounds[o + 1]]
+            offsets_set.add(o - s)
         requested.append(groups)
 
     offsets = tuple(sorted(offsets_set, key=lambda d: (abs(d), d)))
@@ -96,12 +99,14 @@ def partition_index_map(
     recv_mask = np.zeros((num_shards, num_off, halo), dtype=np.float32)
     local_idx = np.zeros((num_shards, cons_block, flat.shape[1]), dtype=np.int32)
 
+    # dense producer-id → extended-slot remap reused across shards (each
+    # shard refills exactly the ids it will read) — replaces the per-remote
+    # -entry dict loop, same vectorization as parallel/halo._partition_level
+    slot_map = np.zeros(producer_count, dtype=np.int64)
     for s in range(num_shards):
-        slot_of = {}
         for j, d in enumerate(offsets):
             req = requested[s].get(d, np.zeros(0, np.int64))
-            for i, g in enumerate(req):
-                slot_of[int(g)] = block + j * halo + i
+            slot_map[req] = block + j * halo + np.arange(len(req))
             recv_mask[s, j, : len(req)] = 1.0
         for j, d in enumerate(offsets):
             src = s + d
@@ -114,10 +119,7 @@ def partition_index_map(
         own = (rows >= s * block) & (rows < (s + 1) * block)
         out[own] = rows[own] - s * block + 1
         remote_mask = (rows >= 0) & ~own
-        if np.any(remote_mask):
-            out[remote_mask] = (
-                np.asarray([slot_of[int(g)] for g in rows[remote_mask]]) + 1
-            )
+        out[remote_mask] = slot_map[rows[remote_mask]] + 1
         local_idx[s] = out
 
     return VertexPartition(

@@ -670,3 +670,26 @@ def test_partition_million_nodes_bounded_time():
     # generous bound for loaded hosts; the regression this guards is
     # per-edge Python (minutes at 1M nodes), not constant factors
     assert elapsed < 180.0, f"1M-node partition took {elapsed:.1f}s"
+
+
+def test_vertex_partition_million_rows_bounded_time():
+    """partition_index_map (vertex/face halo tables) stays vectorized at the
+    million-row regime — same dense slot-map remap as the conv partitioner."""
+    import time
+
+    from facet_graph_convolution_tpu.parallel.vertex_halo import (
+        partition_index_map,
+    )
+
+    rng = np.random.default_rng(0)
+    n, k = 1 << 20, 9
+    idx = np.arange(n, dtype=np.int64)[:, None] + np.arange(k)[None, :]
+    idx = idx % n
+    idx[:, -1] = rng.integers(0, n, size=n)          # non-banded remotes
+    idx[rng.integers(0, n, size=n // 50), 0] = -1    # pad rows
+
+    t0 = time.time()
+    part = partition_index_map(idx, 8)
+    elapsed = time.time() - t0
+    assert part.local_idx.shape[0] == 8
+    assert elapsed < 120.0, f"1M-row index partition took {elapsed:.1f}s"

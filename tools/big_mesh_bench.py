@@ -43,7 +43,24 @@ def main():
                     help="checkpoint convs + fc head (required when the "
                          "per-shard node count exceeds the HBM-residual "
                          "regime, e.g. >=1M nodes on one chip)")
+    ap.add_argument("--cpu", type=int, default=0, metavar="N",
+                    help="run on N virtual CPU devices (the session "
+                         "sitecustomize pins the axon TPU backend, so the "
+                         "JAX_PLATFORMS env var alone is IGNORED — this "
+                         "flag forces the platform via jax.config)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu)
+        try:
+            import jax.extend.backend
+
+            jax.extend.backend.clear_backends()
+        except Exception:
+            pass
 
     import numpy as np
 
