@@ -166,12 +166,20 @@ def measure_sharded(steps=20, repeats=3, subdiv=5, num_shards=None):
     state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
     step_fn = make_sharded_train_step(tx, cfg, part, mesh)
 
-    x = jnp.asarray(patch.inputs)
-    gt = jnp.asarray(patch.gt_normals)
+    # commit every argument under the jitted step's expected sharding ONCE —
+    # unsharded args are re-laid-out per dispatch (host-mediated on the
+    # tunnel-attached TPU; measured 6.6 s/step of overhead at 1.27M nodes)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    shard = NamedSharding(mesh, P("graph"))
+    rep = NamedSharding(mesh, P())
+    state = jax.device_put(state, rep)
+    x = jax.device_put(jnp.asarray(patch.inputs), shard)
+    gt = jax.device_put(jnp.asarray(patch.gt_normals), shard)
     mask = np.zeros(patch.num_nodes, np.float32)
     mask[np.random.default_rng(0).integers(
         0, patch.num_nodes, size=cfg.train.loss_samples)] = 1.0
-    mask = jnp.asarray(mask)
+    mask = jax.device_put(jnp.asarray(mask), shard)
 
     @jax.jit
     def run_steps(state, x, gt, mask, ops):

@@ -817,6 +817,13 @@ def sharded_unet_apply(
         )
         x = distribute(mesh, P(axis), np.asarray(x))
         params = replicate(mesh, params)
+    else:
+        # single dispatch here, but callers may re-invoke: commit tables
+        # under the expected sharding (see make_sharded_train_step)
+        table_sharding = jax.sharding.NamedSharding(mesh, P(axis))
+        operands = jax.tree.map(
+            lambda a: jax.device_put(a, table_sharding), operands
+        )
 
     in_specs = (
         P(),
@@ -871,6 +878,15 @@ def make_sharded_train_step(
 
         operands = jax.tree.map(
             lambda a: distribute(mesh, P(axis), np.asarray(a)), operands
+        )
+    else:
+        # commit the tables under the EXACT sharding the jitted step expects:
+        # default-placed (unsharded) arrays are otherwise re-laid-out on
+        # every dispatch, which on a tunnel-attached TPU is a host-mediated
+        # copy — measured 6.6 s/step of pure overhead at 1.27M nodes
+        table_sharding = jax.sharding.NamedSharding(mesh, P(axis))
+        operands = jax.tree.map(
+            lambda a: jax.device_put(a, table_sharding), operands
         )
     compute_dtype = (
         jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
@@ -982,7 +998,11 @@ def _prepare_sharded_mesh_arrays(cfg, patch, mesh, axis):
 
         stage = lambda a: distribute(mesh, P(axis), np.asarray(a))
     else:
-        stage = jnp.asarray
+        # commit under the step's expected sharding once (see the same
+        # device_put in make_sharded_train_step: unsharded args re-lay-out
+        # per dispatch, host-mediated on tunnel-attached TPUs)
+        row_sharding = jax.sharding.NamedSharding(mesh, P(axis))
+        stage = lambda a: jax.device_put(jnp.asarray(a), row_sharding)
     return part, stage(padded.inputs), stage(padded.gt_normals), padded.num_nodes, stage
 
 

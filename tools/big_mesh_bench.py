@@ -43,6 +43,10 @@ def main():
                     help="checkpoint convs + fc head (required when the "
                          "per-shard node count exceeds the HBM-residual "
                          "regime, e.g. >=1M nodes on one chip)")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of one scanned "
+                         "dispatch and print the per-op rollup "
+                         "(tools/op_profile.summarize)")
     ap.add_argument("--cpu", type=int, default=0, metavar="N",
                     help="run on N virtual CPU devices (the session "
                          "sitecustomize pins the axon TPU backend, so the "
@@ -127,6 +131,9 @@ def main():
         "partition_seconds": round(prep_partition_s, 2),
     }
 
+    if args.profile and not args.prep_only:
+        args.train = True
+
     if args.train and not args.prep_only:
         import jax.numpy as jnp
 
@@ -150,12 +157,18 @@ def main():
         step_fn = make_sharded_train_step(tx, cfg, part, mesh,
                                           remat=args.remat)
 
-        x = jnp.asarray(patch.inputs)
-        gt = jnp.asarray(patch.gt_normals)
+        # pre-place args under the step's expected shardings (see
+        # bench.measure_sharded: unsharded args re-lay-out per dispatch)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("graph"))
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        x = jax.device_put(jnp.asarray(patch.inputs), shard)
+        gt = jax.device_put(jnp.asarray(patch.gt_normals), shard)
         mask = np.zeros(patch.num_nodes, np.float32)
         mask[np.random.default_rng(0).integers(
             0, patch.num_nodes, size=cfg.train.loss_samples)] = 1.0
-        mask = jnp.asarray(mask)
+        mask = jax.device_put(jnp.asarray(mask), shard)
 
         @jax.jit
         def run_steps(state, x, gt, mask, ops):
@@ -173,6 +186,15 @@ def main():
             _ = float(losses[-1])
             log("compile_and_first_run", time.time() - t0,
                 loss=float(losses[-1]))
+            if args.profile:
+                from tools.op_profile import _capture, summarize
+
+                xp = _capture(
+                    lambda: run_steps(state, x, gt, mask, step_fn.operands),
+                    (),
+                )
+                print(f"xplane: {xp}", flush=True)
+                summarize(xp, args.steps, 40)
             times = []
             for _ in range(args.repeats):
                 t0 = time.perf_counter()
