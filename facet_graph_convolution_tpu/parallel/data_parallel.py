@@ -18,6 +18,7 @@ scanned trainer.
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from functools import partial
@@ -68,7 +69,12 @@ def build_patch_bank(patches: Sequence[FacetPatch], cfg: Config):
 
     group = (2 ** cfg.model.coarsening_steps) ** (cfg.model.coarsening_levels - 1)
     target = max(p.num_nodes for p in patches)
-    target = ((target + group - 1) // group) * group
+    # bucket to a LANE-ALIGNED size (lcm of 1024 and the coarsening group):
+    # a group-only multiple leaves every [*, N] node-minor array ragged
+    # against the TPU's (8, 128) tiling — measured 68.4 vs 84.5M edges/s/chip
+    # on the bench patch (25200 vs 25600 nodes)
+    align = 1024 * group // math.gcd(1024, group)
+    target = ((target + align - 1) // align) * align
     padded = [pad_patch_to(p, target) for p in patches]
     # pre-derived lane tables: the per-device patch is selected INSIDE the
     # compiled step, so the clamp/mask/gate index math must be staged in the

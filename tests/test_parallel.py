@@ -196,7 +196,11 @@ def test_dp_step_fast_path_matches_single_chip(sphere_patch):
         # single-device train-step loss with the same key discipline
         state1, loss = step(state, bank, idx, same_keys)
         ref_step = make_normals_train_step(tx, cfg)
-        x, adjs, gt, adj_ts, mults = _patch_arrays(sphere_patch)
+        # the bank lane-aligns the node bucket (build_patch_bank); pad the
+        # single-device reference patch identically so the random loss-face
+        # sample (drawn over x.shape[0]) matches index-for-index
+        padded_ref = pad_patch_to(sphere_patch, bank[0].shape[1])
+        x, adjs, gt, adj_ts, mults = _patch_arrays(padded_ref)
         _, ref = ref_step(state, x, adjs, gt, keys[0], adj_ts, mults)
         np.testing.assert_allclose(float(loss), float(ref), rtol=1e-4)
 
