@@ -266,6 +266,142 @@ def lane_tables_pre(
     return adjT0, validF, idxT, validT
 
 
+class WindowedLaneTables:
+    """Per-block windowed lane-gather tables for HBM-scale graphs.
+
+    At ~1M nodes the XLA gather row path degrades from 1.9 to ~11 ns/row —
+    the operand no longer fits the on-chip working set and each row becomes
+    an HBM-latency-bound access, insensitive to index locality (measured,
+    BASELINE.md round 3). On a locality-ordered pyramid
+    (``coarsen_graph(reorder="rcm")``) every node's neighbours lie within a
+    narrow index band (±13k at 1.27M nodes on the bench torus), so gathering
+    through a per-block ``dynamic_slice`` window restores ~2.2 ns/row: the
+    window is re-laid-out once per block at streaming bandwidth and the
+    random rows hit a small operand.
+
+    Geometry (all static): output columns are covered by ``block``-wide
+    slabs at stride ``block`` with the LAST slab clamped to ``N − block``
+    (overlapping its predecessor — both compute identical values for the
+    overlap columns, so order doesn't matter). ``window`` / ``bwd_window``
+    are the max per-slab source spans, shared across slabs so the scan body
+    has static shapes.
+
+    - forward:  ``out[c, k, out_starts[b] + j] =
+      x[c, win_starts[b] + relT[b, k, j]]`` (padding slots are index-clamped
+      garbage — consumers must zero them via ``mult_rows``/``validF``);
+    - backward: ``dx[c, out_starts[b] + j] = Σ_s
+      g[c].reshape(K·N)[… bwd window …][relS[b, s, j]] · validS[b, s, j]``
+      with ``relS`` flat over ``k·bwd_window + (n − bwd_starts[b])``.
+    """
+
+    def __init__(self, block, window, bwd_window, out_starts, win_starts,
+                 relT, validF, bwd_starts, relS, validS, num_sources,
+                 num_out):
+        self.block = int(block)
+        self.window = int(window)
+        self.bwd_window = int(bwd_window)
+        self.out_starts = out_starts
+        self.win_starts = win_starts
+        self.relT = relT
+        self.validF = validF
+        self.bwd_starts = bwd_starts
+        self.relS = relS
+        self.validS = validS
+        self.num_sources = int(num_sources)
+        self.num_out = int(num_out)
+
+    @property
+    def arrays(self):
+        """The device-operand pack (jit arguments, in a fixed order)."""
+        return (self.out_starts, self.win_starts, self.relT, self.validF,
+                self.bwd_starts, self.relS, self.validS)
+
+    @property
+    def geometry(self):
+        """Static descriptor consumed by ops.gather.make_windowed_lane_gather."""
+        return (self.block, self.window, self.bwd_window,
+                self.num_sources, self.num_out)
+
+
+def _round_up(x: int, align: int) -> int:
+    return ((int(x) + align - 1) // align) * align
+
+
+def windowed_lane_tables(
+    adj_nbr: np.ndarray,
+    num_sources: Optional[int] = None,
+    block: int = 32768,
+    align: int = 512,
+    max_window_ratio: float = 8.0,
+) -> Optional[WindowedLaneTables]:
+    """Build :class:`WindowedLaneTables` from the neighbours-only one-indexed
+    K-list ``adj_nbr`` [N, K].
+
+    Returns ``None`` when windowing cannot help: fewer than two blocks, a
+    halo-extended source (``num_sources != N`` — halo columns sit at the
+    array tail, outside any local band), or no index locality (a window
+    exceeding ``max_window_ratio × block``, e.g. a pyramid built without
+    ``reorder="rcm"``) — callers then fall back to the flat lane gather.
+    """
+    n, _ = adj_nbr.shape
+    nsrc = num_sources or n
+    if n < 2 * block or nsrc != n:
+        return None
+    adjT0, validF, idxT, validT = lane_tables_pre(adj_nbr, num_sources)
+    k, _ = adjT0.shape
+    s = idxT.shape[0]
+
+    out_starts = np.arange(0, n - block + 1, block, dtype=np.int32)
+    if int(out_starts[-1]) != n - block:
+        out_starts = np.append(out_starts, np.int32(n - block))
+    nblk = out_starts.shape[0]
+
+    # forward geometry: per-slab min/max over VALID neighbour indices
+    def spans(idx2d, valid2d):
+        lo = np.full(nblk, 0, np.int64)
+        hi = np.full(nblk, 0, np.int64)
+        for b, st in enumerate(out_starts):
+            sub = idx2d[:, st : st + block]
+            va = valid2d[:, st : st + block]
+            if va.any():
+                vals = sub[va]
+                lo[b], hi[b] = int(vals.min()), int(vals.max())
+        return lo, hi
+
+    f_lo, f_hi = spans(adjT0, validF)
+    window = min(_round_up(int((f_hi - f_lo).max()) + 1, align), nsrc)
+    if window > max_window_ratio * block:
+        return None
+    win_starts = np.clip(f_lo, 0, nsrc - window).astype(np.int32)
+
+    # backward geometry over the n component of the flat k·N + n slots
+    k_arr = (idxT // n).astype(np.int64)
+    n_arr = (idxT % n).astype(np.int64)
+    b_lo, b_hi = spans(n_arr, validT)
+    bwd_window = min(_round_up(int((b_hi - b_lo).max()) + 1, align), n)
+    if bwd_window > max_window_ratio * block:
+        return None
+    bwd_starts = np.clip(b_lo, 0, n - bwd_window).astype(np.int32)
+
+    relT = np.empty((nblk, k, block), np.int32)
+    vF = np.empty((nblk, k, block), bool)
+    relS = np.empty((nblk, s, block), np.int32)
+    vS = np.empty((nblk, s, block), bool)
+    for b, st in enumerate(out_starts):
+        cols = slice(int(st), int(st) + block)
+        relT[b] = np.clip(adjT0[:, cols] - win_starts[b], 0, window - 1)
+        vF[b] = validF[:, cols]
+        flat = k_arr[:, cols] * bwd_window + (n_arr[:, cols] - bwd_starts[b])
+        relS[b] = np.clip(flat, 0, k * bwd_window - 1)
+        vS[b] = validT[:, cols]
+    return WindowedLaneTables(
+        block=block, window=window, bwd_window=bwd_window,
+        out_starts=out_starts, win_starts=win_starts, relT=relT, validF=vF,
+        bwd_starts=bwd_starts, relS=relS, validS=vS,
+        num_sources=nsrc, num_out=n,
+    )
+
+
 def invert_permutation(perm: np.ndarray) -> np.ndarray:
     """Inverse permutation, sized to cover max(len, max+1) like the reference
     ``inv_perm`` (utils.py:1830-1835)."""

@@ -193,6 +193,73 @@ def gather_neighbors_lane_pre(
     return out
 
 
+def make_windowed_lane_gather(geometry):
+    """Windowed lane-axis gather for HBM-scale graphs (≈1M+ nodes).
+
+    ``geometry`` is ``WindowedLaneTables.geometry`` (graph/convert.py):
+    ``(block, window, bwd_window, num_sources, num_out)`` — static. Returns
+    a function ``f(x_t, *wt.arrays) -> [C, K, num_out]`` with the same
+    value/grad semantics as :func:`gather_neighbors_lane` ``clamped=True``
+    over the equivalent flat tables (padding slots gather finite in-window
+    garbage the consumer must zero via ``mult_rows``; multiply the output by
+    the ``validF`` pack entry for zero-padding consumers).
+
+    Both directions run as a ``lax.scan`` over node slabs: ``dynamic_slice``
+    a source window, flat-gather within it, ``dynamic_update_slice`` into
+    the output. At 1.27M nodes this restores ~2.2-2.8 ns/row vs ~11 ns/row
+    for the flat gather, whose operand no longer fits the on-chip working
+    set (measured on v5e; BASELINE.md round 3). The last slab overlaps its
+    predecessor (tables clamp its start to ``N − block``); both compute
+    identical values for the overlap columns from the same global tables,
+    so the double write is benign in both directions.
+    """
+    block, window, bwd_window, num_sources, num_out = map(int, geometry)
+
+    @jax.custom_vjp
+    def gather_win(x_t, out_starts, win_starts, relT, validF,
+                   bwd_starts, relS, validS):
+        c = x_t.shape[0]
+        k = relT.shape[1]
+        # + x_t[0,0]*0: inherit x_t's shard_map varying-axis type (a plain
+        # zeros carry is 'unvarying' and scan rejects the mixed carry)
+        buf = jnp.zeros((c, k, num_out), x_t.dtype) + x_t[0, 0] * 0
+
+        def blk(buf, xs):
+            os_, ws, r = xs
+            win = jax.lax.dynamic_slice(x_t, (0, ws), (c, window))
+            g = jnp.take(win, r, axis=1)                 # [C, K, block]
+            return jax.lax.dynamic_update_slice(buf, g, (0, 0, os_)), None
+
+        buf, _ = jax.lax.scan(blk, buf, (out_starts, win_starts, relT))
+        return buf
+
+    def _fwd(x_t, out_starts, win_starts, relT, validF,
+             bwd_starts, relS, validS):
+        out = gather_win(x_t, out_starts, win_starts, relT, validF,
+                         bwd_starts, relS, validS)
+        return out, (out_starts, bwd_starts, relS, validS)
+
+    def _bwd(res, g):
+        out_starts, bwd_starts, relS, validS = res
+        c = g.shape[0]
+        k = g.shape[1]
+        dx = jnp.zeros((c, num_out), g.dtype) + g[0, 0, 0] * 0
+
+        def blk(dx, xs):
+            os_, bs, rs, vs = xs
+            gwin = jax.lax.dynamic_slice(g, (0, 0, bs), (c, k, bwd_window))
+            gf = gwin.reshape(c, k * bwd_window)
+            d = jnp.take(gf, rs, axis=1)                 # [C, S, block]
+            d = jnp.sum(d * vs.astype(d.dtype)[None], axis=1)
+            return jax.lax.dynamic_update_slice(dx, d, (0, os_)), None
+
+        dx, _ = jax.lax.scan(blk, dx, (out_starts, bwd_starts, relS, validS))
+        return dx, None, None, None, None, None, None, None
+
+    gather_win.defvjp(_fwd, _bwd)
+    return gather_win
+
+
 def neighbor_counts(adj: jnp.ndarray) -> jnp.ndarray:
     """Non-zero entries per row — the conv's degree normalizer, counting the
     self slot (reference ``tf.count_nonzero(adj, 2)``, model.py:436)."""

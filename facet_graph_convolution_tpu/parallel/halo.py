@@ -348,32 +348,100 @@ def partition_operands(part: GraphPartition):
     )
 
 
-def partition_operands_nminor(part: GraphPartition):
+def partition_operands_nminor(part: GraphPartition, windows=None):
     """Per-level device operands for the node-minor sharded conv:
     (local_adj, local_adj_t, send_idx, recv_mask, mult_rows) tuples, where
     ``mult_rows`` [D, K+1, n] is the fused per-slot multiplicity × 1/degree
-    (slot 0 = self; graph.convert.fused_mult_rows) per shard."""
+    (slot 0 = self; graph.convert.fused_mult_rows) per shard.
+
+    ``windows`` (from :func:`build_level_windows`) swaps a level onto the
+    windowed gather: its 7 table arrays are appended after ``mult_rows`` and
+    the flat lane tables are replaced by 1-element dummies (the windowed conv
+    never reads them; the flat tables would otherwise pin ~130 MB of unused
+    HBM per million-node level)."""
     from facet_graph_convolution_tpu.graph.convert import fused_mult_rows
 
     ops = []
-    for lvl in part.levels:
+    for i, lvl in enumerate(part.levels):
         rows = np.stack(
             [
                 fused_mult_rows(lvl.mult[s], lvl.self_mult[s])
                 for s in range(lvl.mult.shape[0])
             ]
         )
-        ops.append(
-            (
-                jnp.asarray(lvl.lane_adj),
-                jnp.asarray(lvl.lane_adj_t),
-                jnp.asarray(lvl.send_idx),
-                jnp.asarray(lvl.recv_mask),
-                jnp.asarray(rows),
+        wt = windows[i] if windows is not None else None
+        if wt is not None:
+            dummy = jnp.zeros((1, 1, 1), jnp.int32)
+            ops.append(
+                (
+                    dummy,
+                    dummy,
+                    jnp.asarray(lvl.send_idx),
+                    jnp.asarray(lvl.recv_mask),
+                    jnp.asarray(rows),
+                )
+                + tuple(jnp.asarray(a)[None] for a in wt.arrays)
             )
-            + _cross_entries(lvl)
-        )
+        else:
+            ops.append(
+                (
+                    jnp.asarray(lvl.lane_adj),
+                    jnp.asarray(lvl.lane_adj_t),
+                    jnp.asarray(lvl.send_idx),
+                    jnp.asarray(lvl.recv_mask),
+                    jnp.asarray(rows),
+                )
+                + _cross_entries(lvl)
+            )
     return tuple(ops)
+
+
+WINDOWED_MIN_NODES = int(os.environ.get("FGC_WINDOWED_MIN_NODES", 262144))
+WINDOWED_BLOCK = int(os.environ.get("FGC_WINDOWED_BLOCK", 32768))
+
+
+def build_level_windows(
+    part: GraphPartition,
+    min_nodes: Optional[int] = None,
+    block: Optional[int] = None,
+    variant: FacetConvVariant = FacetConvVariant.DEFAULT,
+):
+    """Per-level :class:`~facet_graph_convolution_tpu.graph.convert.WindowedLaneTables`
+    (or None) for the windowed lane gather — the HBM-scale gather fast path
+    (BASELINE.md round 3: the flat XLA gather degrades 1.9 → ~11 ns/row once
+    the operand leaves the on-chip working set; per-block dynamic-slice
+    windows over the RCM-ordered index space restore ~2.2-2.8 ns/row).
+
+    A level qualifies only when its gather source is purely local (D == 1:
+    no ring offsets, no cross-host tables — halo columns live at the array
+    tail, outside any local band), it is big enough to be in the degraded
+    regime (``min_nodes``), and the pyramid has index locality
+    (``windowed_lane_tables`` returns None for non-RCM orderings). The
+    rotation-invariant first conv keeps the flat gather (its zero-padding
+    contract is carried by ``validF``, wired only for the default conv), so
+    level 0 is skipped for that variant."""
+    from facet_graph_convolution_tpu.graph.convert import windowed_lane_tables
+
+    if min_nodes is None:
+        min_nodes = WINDOWED_MIN_NODES
+    if block is None:
+        block = WINDOWED_BLOCK
+    out = []
+    for i, lvl in enumerate(part.levels):
+        local_only = (
+            part.num_shards == 1
+            and len(lvl.offsets) == 0
+            and lvl.cross_send is None
+        )
+        if (
+            not local_only
+            or lvl.block < min_nodes
+            or (i == 0 and variant == FacetConvVariant.ROTATION_INVARIANT)
+        ):
+            out.append(None)
+            continue
+        out.append(windowed_lane_tables(lvl.local_adj[0], block=block))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -526,7 +594,8 @@ def _halo_extend_nminor(x_t, send_idx, recv_mask, offsets, axis,
 
 
 def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
-                         variant=FacetConvVariant.DEFAULT, compute_dtype=None):
+                         variant=FacetConvVariant.DEFAULT, compute_dtype=None,
+                         win=None):
     """Node-minor sharded facet conv: ``x_t`` [C, n] → [out, n].
 
     The sharded counterpart of
@@ -542,19 +611,34 @@ def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
     slot map over the extended space — LevelPartition.lane_adj[_t]): no
     layout change anywhere between the collective and the aggregation, the
     same formulation as the single-chip lane fast path (BASELINE.md
-    45.1M → 50.2M edges/s)."""
-    from facet_graph_convolution_tpu.ops.gather import gather_neighbors_lane
+    45.1M → 50.2M edges/s).
+
+    ``win`` (static geometry from WindowedLaneTables, wired per level by
+    :func:`build_level_windows`) switches the gather to the windowed form —
+    ops[5:12] then carry the windowed table pack and the level is purely
+    local (no halo exchange; the builder only emits windows at D == 1)."""
+    from facet_graph_convolution_tpu.ops.gather import (
+        gather_neighbors_lane,
+        make_windowed_lane_gather,
+    )
 
     adj, adj_t, send_idx, recv_mask, mult_rows = ops[:5]
-    cross_send, cross_mask = ops[5:] if len(ops) > 5 else (None, None)
+    if win is not None:
+        cross_send, cross_mask = None, None
+    else:
+        cross_send, cross_mask = ops[5:] if len(ops) > 5 else (None, None)
     u, c, w, b = params["u"], params["c"], params["w"], params["b"]
     dtype = compute_dtype or x_t.dtype
     in_ch, n = x_t.shape
     m, out_ch, _ = w.shape
 
     if variant == FacetConvVariant.ROTATION_INVARIANT:
-        return _sharded_conv_nminor_rotinv(params, x_t, ops, offsets, axis,
-                                           compute_dtype=compute_dtype)
+        # the rotinv assignment keeps the flat gather (zero-padding via
+        # validF); with a windowed ops pack, drop the win tables so the
+        # cross-table parsing in the rotinv path stays positional
+        r_ops = ops[:5] if win is not None else ops
+        return _sharded_conv_nminor_rotinv(params, x_t, r_ops, offsets,
+                                           axis, compute_dtype=compute_dtype)
 
     if variant == FacetConvVariant.DEFAULT:
         proj = params["v"]
@@ -564,11 +648,18 @@ def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
     vx_t = proj @ x_t                                    # [M, n]
     ux_t = u @ x_t                                       # [M, n]
     cat_t = jnp.concatenate([x_t, vx_t], axis=0).astype(dtype)   # [C+M, n]
-    cat_ext_t = _halo_extend_nminor(cat_t, send_idx, recv_mask, offsets, axis,
-                                    cross_send, cross_mask)
-    # clamped: padding slots gather finite garbage, provably zeroed by the
-    # mult_rows multiply on q below — saves the zero-column pad
-    nbr_g = gather_neighbors_lane(cat_ext_t, adj, adj_t, clamped=True)
+    if win is not None:
+        # windowed HBM-scale gather (BASELINE.md round 3): the level is
+        # purely local, so the extended array IS cat_t; clamped contract —
+        # padding slots gather finite in-window garbage, provably zeroed by
+        # the mult_rows multiply on q below
+        nbr_g = make_windowed_lane_gather(win)(cat_t, *ops[5:12])
+    else:
+        cat_ext_t = _halo_extend_nminor(cat_t, send_idx, recv_mask, offsets,
+                                        axis, cross_send, cross_mask)
+        # clamped: padding slots gather finite garbage, provably zeroed by
+        # the mult_rows multiply on q below — saves the zero-column pad
+        nbr_g = gather_neighbors_lane(cat_ext_t, adj, adj_t, clamped=True)
     # self slot: the local column, prepended without a gather
     nbr_t = jnp.concatenate([cat_t[:, None, :], nbr_g], axis=1)
     x_nbr_t = nbr_t[:in_ch]
@@ -628,7 +719,7 @@ def _sharded_conv_nminor_rotinv(params, x_t, ops, offsets, axis,
 def sharded_unet_forward_local_nminor(
     params, x, level_operands, offsets_per_level, axis,
     coarsening_steps=2, alpha=0.1, multi_scale=False, compute_dtype=None,
-    variant=FacetConvVariant.DEFAULT, remat=False,
+    variant=FacetConvVariant.DEFAULT, remat=False, wins=None,
 ):
     """Node-minor U-Net forward on one shard (inside shard_map): mirrors
     ``unet_apply_nminor`` with halo-extended convs and shard-local node-minor
@@ -644,13 +735,14 @@ def sharded_unet_forward_local_nminor(
 
     ops0, ops1, ops2 = level_operands
     o0, o1, o2 = offsets_per_level
+    w0, w1, w2 = wins if wins is not None else (None, None, None)
     v_first, v_rest = per_conv_variants(variant)
     ckpt = jax.checkpoint if remat else (lambda f: f)
 
-    def conv(p, h_t, ops, offs, var=v_rest):
+    def conv(p, h_t, ops, offs, var=v_rest, win=None):
         def apply(p, h_t):
             return _sharded_conv_nminor(p, h_t, ops, offs, axis, variant=var,
-                                        compute_dtype=compute_dtype)
+                                        compute_dtype=compute_dtype, win=win)
 
         return ckpt(apply)(p, h_t)
 
@@ -659,12 +751,12 @@ def sharded_unet_forward_local_nminor(
         return p["w"].T @ h_t + p["b"][:, None]
 
     x_t = x.T                                            # [C, n]
-    h1 = lrelu(conv(params["conv1"], x_t, ops0, o0, var=v_first), alpha)
+    h1 = lrelu(conv(params["conv1"], x_t, ops0, o0, var=v_first, win=w0), alpha)
     p1 = tree_pool_nminor(h1, steps=coarsening_steps, mode="max")
-    h2 = lrelu(conv(params["conv2"], p1, ops1, o1), alpha)
+    h2 = lrelu(conv(params["conv2"], p1, ops1, o1, win=w1), alpha)
     p2 = tree_pool_nminor(h2, steps=coarsening_steps, mode="max")
-    h3 = lrelu(conv(params["conv3"], p2, ops2, o2), alpha)
-    d3 = lrelu(conv(params["dconv3"], h3, ops2, o2), alpha)
+    h3 = lrelu(conv(params["conv3"], p2, ops2, o2, win=w2), alpha)
+    d3 = lrelu(conv(params["dconv3"], h3, ops2, o2, win=w2), alpha)
 
     y_coarse = None
     if multi_scale:
@@ -672,9 +764,10 @@ def sharded_unet_forward_local_nminor(
         y_coarse = lin("out2", hc).T
 
     u2 = tree_unpool_nminor(d3, steps=coarsening_steps)
-    u2 = conv(params["upconv2"], u2, ops1, o1)
+    u2 = conv(params["upconv2"], u2, ops1, o1, win=w1)
     d2 = lrelu(
-        conv(params["dconv2"], jnp.concatenate([u2, h2], axis=0), ops1, o1),
+        conv(params["dconv2"], jnp.concatenate([u2, h2], axis=0), ops1, o1,
+             win=w1),
         alpha,
     )
     y_mid = None
@@ -683,9 +776,10 @@ def sharded_unet_forward_local_nminor(
         y_mid = lin("out1", hm).T
 
     u1 = tree_unpool_nminor(d2, steps=coarsening_steps)
-    u1 = conv(params["upconv1"], u1, ops0, o0)
+    u1 = conv(params["upconv1"], u1, ops0, o0, win=w0)
     d1 = lrelu(
-        conv(params["dconv1"], jnp.concatenate([u1, h1], axis=0), ops0, o0),
+        conv(params["dconv1"], jnp.concatenate([u1, h1], axis=0), ops0, o0,
+             win=w0),
         alpha,
     )
 
@@ -802,7 +896,13 @@ def sharded_unet_apply(
     activations node-minor through the net; ``"rowmajor"`` keeps the [n, C]
     formulation (required for the rotation-invariant variant)."""
     nminor = layout == "nminor"
-    operands = (partition_operands_nminor if nminor else partition_operands)(part)
+    if nminor:
+        windows = build_level_windows(part, variant=variant)
+        wins = tuple(wt.geometry if wt is not None else None for wt in windows)
+        operands = partition_operands_nminor(part, windows)
+    else:
+        wins = (None,) * len(part.levels)
+        operands = partition_operands(part)
     offsets = tuple(lvl.offsets for lvl in part.levels)
     if jax.process_count() > 1:
         # multi-host: every process holds the full host-side tables; build
@@ -836,7 +936,7 @@ def sharded_unet_apply(
     def run(params, x_block, level_ops):
         level_ops = jax.tree.map(lambda arr: arr[0], level_ops)
         fwd = sharded_unet_forward_local_nminor if nminor else sharded_unet_forward_local
-        kw = {"compute_dtype": compute_dtype} if nminor else {}
+        kw = {"compute_dtype": compute_dtype, "wins": wins} if nminor else {}
         y = fwd(
             params, x_block, level_ops, offsets, axis,
             coarsening_steps=coarsening_steps, multi_scale=multi_scale,
@@ -871,7 +971,16 @@ def make_sharded_train_step(
     sharded_unet_forward_local_nminor)."""
     steps = cfg.model.coarsening_steps
     nminor = layout == "nminor"
-    operands = (partition_operands_nminor if nminor else partition_operands)(part)
+    from facet_graph_convolution_tpu.training.trainer import _config_variant
+
+    variant = _config_variant(cfg)
+    if nminor:
+        windows = build_level_windows(part, variant=variant)
+        wins = tuple(wt.geometry if wt is not None else None for wt in windows)
+        operands = partition_operands_nminor(part, windows)
+    else:
+        wins = (None,) * len(part.levels)
+        operands = partition_operands(part)
     offsets = tuple(lvl.offsets for lvl in part.levels)
     if jax.process_count() > 1:
         from facet_graph_convolution_tpu.parallel.distributed import distribute
@@ -891,9 +1000,6 @@ def make_sharded_train_step(
     compute_dtype = (
         jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else None
     )
-    from facet_graph_convolution_tpu.training.trainer import _config_variant
-
-    variant = _config_variant(cfg)
 
     in_specs = (
         P(),
@@ -925,7 +1031,7 @@ def make_sharded_train_step(
                 y = sharded_unet_forward_local_nminor(
                     params, x_block, level_ops, offsets, axis,
                     coarsening_steps=steps, compute_dtype=compute_dtype,
-                    variant=variant, remat=remat,
+                    variant=variant, remat=remat, wins=wins,
                 )
             else:
                 y = sharded_unet_forward_local(

@@ -1,0 +1,144 @@
+"""Windowed lane gather: exact parity with the flat lane gather (values on
+valid slots, gradients everywhere) on banded (RCM-style) adjacencies,
+including the overlap-tail slab and the builder's fallback conditions."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from facet_graph_convolution_tpu.graph.convert import (
+    lane_tables,
+    windowed_lane_tables,
+)
+from facet_graph_convolution_tpu.ops.gather import (
+    gather_neighbors_lane,
+    make_windowed_lane_gather,
+)
+
+
+def banded_klist(n, k, band, pad_frac=0.2, seed=0):
+    """One-indexed neighbours-only K-list with |j - i| <= band, ~pad_frac
+    padding slots (0)."""
+    rng = np.random.default_rng(seed)
+    base = np.arange(n)[:, None]
+    off = rng.integers(-band, band + 1, size=(n, k))
+    adj = np.clip(base + off, 0, n - 1) + 1
+    adj[rng.random((n, k)) < pad_frac] = 0
+    return adj.astype(np.int32)
+
+
+@pytest.mark.parametrize("n,block", [(4096, 512), (4352, 512)])
+def test_windowed_matches_flat(n, block):
+    k, band, c = 7, 96, 5
+    adj = banded_klist(n, k, band)
+    wt = windowed_lane_tables(adj, block=block, align=64)
+    assert wt is not None
+    adjT, adjT_t = lane_tables(adj)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((c, n)).astype(np.float32))
+    validF = jnp.asarray(adjT > 0)[None].astype(np.float32)
+
+    gw = make_windowed_lane_gather(wt.geometry)
+    wt_args = tuple(jnp.asarray(a) for a in wt.arrays)
+
+    def flat_loss(x):
+        g = gather_neighbors_lane(x, jnp.asarray(adjT), jnp.asarray(adjT_t),
+                                  clamped=True)
+        return jnp.sum((g * validF) ** 2), g * validF
+
+    def win_loss(x):
+        g = gw(x, *wt_args)
+        return jnp.sum((g * validF) ** 2), g * validF
+
+    (lf, gf), dxf = jax.value_and_grad(flat_loss, has_aux=True)(x)
+    (lw, gx), dxw = jax.value_and_grad(win_loss, has_aux=True)(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lw), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dxf), np.asarray(dxw),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_builder_fallbacks():
+    adj = banded_klist(4096, 7, 64)
+    # too few blocks
+    assert windowed_lane_tables(adj, block=4096) is None
+    # halo-extended source
+    assert windowed_lane_tables(adj, num_sources=5000, block=512) is None
+    # no locality: random adjacency blows the window ratio
+    rng = np.random.default_rng(2)
+    rand_adj = (rng.integers(0, 4096, size=(4096, 7)) + 1).astype(np.int32)
+    assert windowed_lane_tables(rand_adj, block=256, align=64,
+                                max_window_ratio=2.0) is None
+
+
+def test_window_geometry_covers_all_valid_entries():
+    n, k, band, block = 6144, 9, 200, 1024
+    adj = banded_klist(n, k, band, seed=3)
+    wt = windowed_lane_tables(adj, block=block, align=128)
+    assert wt is not None
+    adjT0 = np.maximum(adj.T.astype(np.int64) - 1, 0)
+    valid = adj.T > 0
+    for b, (os_, ws) in enumerate(zip(wt.out_starts, wt.win_starts)):
+        cols = slice(int(os_), int(os_) + wt.block)
+        sub, va = adjT0[:, cols], valid[:, cols]
+        if va.any():
+            assert sub[va].min() >= ws
+            assert sub[va].max() < ws + wt.window
+        # stored relT reproduces the global index on valid slots
+        np.testing.assert_array_equal(
+            (wt.relT[b] + ws)[wt.validF[b]], sub[va])
+
+
+def test_windowed_sharded_step_matches_flat(monkeypatch):
+    """D=1 sharded train step with the windowed gather forced on must match
+    the flat-gather step loss-for-loss over several optimizer steps."""
+    import optax  # noqa: F401
+    from facet_graph_convolution_tpu.config import default_config
+    from facet_graph_convolution_tpu.data.dataset import (
+        TrainingSet, bucket_size, pad_patch_to,
+    )
+    from facet_graph_convolution_tpu.parallel import halo
+    from facet_graph_convolution_tpu.parallel.mesh import make_mesh
+    from facet_graph_convolution_tpu.training.trainer import create_train_state
+    from tests.conftest import make_icosphere
+
+    v, f = make_icosphere(3)
+    rng = np.random.default_rng(3)
+    noisy = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
+    ds = TrainingSet(max_patch_size=20000, coarsening_steps=2,
+                     coarsening_levels=3, k_faces=23, seed=0)
+    ds.add_mesh(noisy, f, gt_vertices=v)
+    patch = pad_patch_to(ds.patches[0], bucket_size(ds.patches[0].num_nodes, 16))
+
+    cfg = default_config().replace(
+        model={"channels": (8, 16, 32), "num_filters": 4, "fc_channels": 32},
+    )
+    mesh = make_mesh((1, 1), ("data", "graph"))
+    part = halo.build_partition(patch.adjs, 1)
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+
+    x = jnp.asarray(patch.inputs)
+    gt = jnp.asarray(patch.gt_normals)
+    mask = jnp.ones((x.shape[0],), jnp.float32)
+
+    def run(n_steps=6):
+        st = state
+        step = halo.make_sharded_train_step(tx, cfg, part, mesh)
+        losses = []
+        with mesh:
+            for _ in range(n_steps):
+                st, loss = step(st, x, gt, mask)
+                losses.append(float(loss))
+        return losses
+
+    flat_losses = run()
+
+    # force windowing on (fine level is 1552 nodes -> 13 slabs incl. the
+    # overlap tail; the 97-node coarsest level stays flat)
+    monkeypatch.setattr(halo, "WINDOWED_MIN_NODES", 64)
+    monkeypatch.setattr(halo, "WINDOWED_BLOCK", 128)
+    windows = halo.build_level_windows(part)
+    assert any(wt is not None for wt in windows), "windowing did not engage"
+    win_losses = run()
+
+    np.testing.assert_allclose(flat_losses, win_losses, rtol=1e-5, atol=1e-6)
