@@ -232,7 +232,10 @@ def lane_tables(
     adjT = np.ascontiguousarray(adj_nbr.T.astype(np.int32))
     # transpose_adjacency flattens its [rows, cols] input row-major, so on
     # adjT ([K, N]) the emitted flat slots are exactly k·N + n
-    adjT_t = transpose_adjacency(adjT, num_targets=num_sources or adj_nbr.shape[0])
+    adjT_t = transpose_adjacency(
+        adjT,
+        num_targets=adj_nbr.shape[0] if num_sources is None else num_sources,
+    )
     return adjT, np.ascontiguousarray(adjT_t.T)
 
 
@@ -344,11 +347,14 @@ def windowed_lane_tables(
     ``reorder="rcm"``) — callers then fall back to the flat lane gather.
     """
     n, _ = adj_nbr.shape
-    nsrc = num_sources or n
+    nsrc = n if num_sources is None else num_sources
     if n < 2 * block or nsrc != n:
         return None
     adjT0, validF, idxT, validT = lane_tables_pre(adj_nbr, num_sources)
     k, _ = adjT0.shape
+    # the backward's flat slot space (k·N + n) is int32-indexed, same cap as
+    # the flat lane tables — guard it here too rather than overflow silently
+    assert k * n < 2**31, (k, n)
     s = idxT.shape[0]
 
     out_starts = np.arange(0, n - block + 1, block, dtype=np.int32)

@@ -100,6 +100,12 @@ class LevelPartition:
 class GraphPartition:
     num_shards: int
     levels: List[LevelPartition]
+    # windowed_lane_tables results keyed by (level, block) — the build runs a
+    # full [S, N] transpose-table pass per level, so it must not repeat per
+    # make_sharded_train_step / sharded_unet_apply call (advisor r3)
+    _window_cache: Dict = dataclasses.field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     @property
     def fine(self) -> LevelPartition:
@@ -371,6 +377,14 @@ def partition_operands_nminor(part: GraphPartition, windows=None):
         )
         wt = windows[i] if windows is not None else None
         if wt is not None:
+            # windowed levels must be purely local — a non-None window for a
+            # level with ring offsets or cross-host tables would silently
+            # drop its halo exchange (build_level_windows' contract)
+            assert (
+                part.num_shards == 1
+                and len(lvl.offsets) == 0
+                and lvl.cross_send is None
+            ), "windowed level must have D==1, no ring offsets, no cross_send"
             dummy = jnp.zeros((1, 1, 1), jnp.int32)
             ops.append(
                 (
@@ -440,7 +454,12 @@ def build_level_windows(
         ):
             out.append(None)
             continue
-        out.append(windowed_lane_tables(lvl.local_adj[0], block=block))
+        key = (i, block)
+        if key not in part._window_cache:
+            part._window_cache[key] = windowed_lane_tables(
+                lvl.local_adj[0], block=block
+            )
+        out.append(part._window_cache[key])
     return out
 
 
@@ -634,10 +653,15 @@ def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
 
     if variant == FacetConvVariant.ROTATION_INVARIANT:
         # the rotinv assignment keeps the flat gather (zero-padding via
-        # validF); with a windowed ops pack, drop the win tables so the
-        # cross-table parsing in the rotinv path stays positional
-        r_ops = ops[:5] if win is not None else ops
-        return _sharded_conv_nminor_rotinv(params, x_t, r_ops, offsets,
+        # validF) — a windowed ops pack carries only 1x1x1 dummy flat tables,
+        # so routing rotinv through it would silently gather garbage
+        if win is not None:
+            raise NotImplementedError(
+                "windowed lane gather does not support the rotation-invariant "
+                "conv (build_level_windows skips level 0 for that variant; a "
+                "windowed ops pack carries dummy flat tables)"
+            )
+        return _sharded_conv_nminor_rotinv(params, x_t, ops, offsets,
                                            axis, compute_dtype=compute_dtype)
 
     if variant == FacetConvVariant.DEFAULT:
@@ -1173,6 +1197,7 @@ def train_normals_sharded(
     losses = []
     loss_hist: List[Tuple[float, float]] = []
     last_valid = float("nan")
+    aborted = False
     with mesh:
         for it in range(num_iterations):
             mask = np.zeros(n, np.float32)
@@ -1195,11 +1220,19 @@ def train_normals_sharded(
                       + (f" valid {last_valid:.4f}" if valid else ""))
                 if not np.isfinite(avg):
                     print("NaN training loss — aborting")
+                    aborted = True
                     break
             if ckpt is not None and it > 0 and it % cfg.train.save_every == 0:
+                if not np.isfinite(float(losses[-1])):
+                    print("NaN training loss — aborting at checkpoint")
+                    aborted = True
+                    break
                 ckpt.save(start_step + it, state)
     if ckpt is not None:
-        ckpt.save(start_step + num_iterations, state)
+        if not aborted:
+            # a NaN abort leaves ``state`` poisoned — never persist it as the
+            # final checkpoint (same guard as training/trainer.py)
+            ckpt.save(start_step + num_iterations, state)
         ckpt.close()
     if jax.process_index() == 0 and loss_hist:
         os.makedirs(cfg.train.network_path, exist_ok=True)
