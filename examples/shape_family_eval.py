@@ -28,6 +28,8 @@ def main():
     parser.add_argument("--iters", type=int, default=3000)
     parser.add_argument("--out", type=str, default="/tmp/fgc_shapes")
     parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--lr-schedule", type=str, default="cosine",
+                        choices=("constant", "cosine"))
     args = parser.parse_args()
 
     import jax
@@ -63,13 +65,22 @@ def main():
     rng = np.random.default_rng(0)
     os.makedirs(args.out, exist_ok=True)
 
-    # --- one mixed training set: all families, train-resolution instances ---
+    # --- one mixed training set: all families, train-resolution instances.
+    # Per-family parameter variation (chamfer widths, cylinder radii, box
+    # aspect) mirrors the reference's multi-mesh Wang training set — the
+    # held-out test instances below use resolutions/parameters absent here.
     train_shapes = [
         ("sphere", *icosphere(3)),
         ("torus", *torus(nu=56, nv=28)),
+        ("torus_thin", *torus(minor=0.25, nu=48, nv=20)),
         ("box", *box(10, 10, 10)),
+        ("box_flat", *box(14, 14, 6, size=(1.2, 1.2, 0.5))),
         ("chamfered_box", *chamfered_box(12)),
+        ("chamfered_box_wide", *chamfered_box(10, chamfer=0.18)),
+        ("chamfered_box_narrow", *chamfered_box(14, chamfer=0.07)),
         ("cylinder_on_plate", *cylinder_on_plate(48)),
+        ("cylinder_on_plate_thin", *cylinder_on_plate(40, r_cyl=0.3, h_cyl=1.0)),
+        ("cylinder_on_plate_fat", *cylinder_on_plate(56, r_cyl=0.6, h_plate=0.3)),
     ]
     train_set = TrainingSet(
         max_patch_size=20000, coarsening_steps=2, coarsening_levels=3,
@@ -77,7 +88,7 @@ def main():
     )
     t0 = time.time()
     for name, v, f in train_shapes:
-        for level in (0.1, 0.2, 0.3):
+        for level in (0.05, 0.1, 0.2, 0.3):
             noisy = add_vertex_noise(v, f, level, rng)
             train_set.add_mesh(noisy, f, gt_vertices=v)
     print(f"dataset: {len(train_set.patches)} patches ({time.time()-t0:.1f}s)",
@@ -89,6 +100,7 @@ def main():
             "net_name": "shapes",
             "save_every": max(args.iters // 2, 500),
             "loss_samples": 4000,
+            "lr_schedule": args.lr_schedule,
         },
         model={"compute_dtype": "bfloat16" if args.bf16 else "float32"},
     )

@@ -104,6 +104,14 @@ class TrainConfig:
     loss_samples: int = 4000        # random faces sampled for loss (train.py:415)
     chamfer_samples: int = 500      # sampled points for chamfer loss (train.py:783)
     learning_rate: float = 1e-3     # Adam default (train.py:520 uses TF default)
+    # LR schedule (TPU addition; the reference runs constant-LR Adam for
+    # 300k iterations, train.py:520 + settings.py:33). "cosine" = linear
+    # warmup over lr_warmup_steps then cosine decay to
+    # lr_min_ratio × learning_rate across the driver's iteration budget —
+    # short synthetic runs converge much further than constant LR allows.
+    lr_schedule: str = "constant"   # "constant" | "cosine"
+    lr_warmup_steps: int = 200
+    lr_min_ratio: float = 0.01
     # NOTE: the reference feeds keep_prob=0.8 in the withVerts trainer
     # (train.py:812) but get_model_reg_multi_scale never applies dropout —
     # the knob is dead there and intentionally unimplemented here.

@@ -336,6 +336,8 @@ def windowed_lane_tables(
     block: int = 32768,
     align: int = 512,
     max_window_ratio: float = 8.0,
+    window: Optional[int] = None,
+    bwd_window: Optional[int] = None,
 ) -> Optional[WindowedLaneTables]:
     """Build :class:`WindowedLaneTables` from the neighbours-only one-indexed
     K-list ``adj_nbr`` [N, K].
@@ -375,18 +377,24 @@ def windowed_lane_tables(
         return lo, hi
 
     f_lo, f_hi = spans(adjT0, validF)
-    window = min(_round_up(int((f_hi - f_lo).max()) + 1, align), nsrc)
-    if window > max_window_ratio * block:
+    needed = min(_round_up(int((f_hi - f_lo).max()) + 1, align), nsrc)
+    if needed > max_window_ratio * block:
         return None
+    # ``window``/``bwd_window`` force a LARGER span than this mesh needs —
+    # multi-mesh compile reuse pins the static geometry to the max across
+    # meshes (parallel.halo.unify_level_windows); any window ≥ needed is
+    # correct (win_starts clipping keeps every neighbour in range)
+    window = min(max(needed, window or 0), nsrc)
     win_starts = np.clip(f_lo, 0, nsrc - window).astype(np.int32)
 
     # backward geometry over the n component of the flat k·N + n slots
     k_arr = (idxT // n).astype(np.int64)
     n_arr = (idxT % n).astype(np.int64)
     b_lo, b_hi = spans(n_arr, validT)
-    bwd_window = min(_round_up(int((b_hi - b_lo).max()) + 1, align), n)
-    if bwd_window > max_window_ratio * block:
+    bwd_needed = min(_round_up(int((b_hi - b_lo).max()) + 1, align), n)
+    if bwd_needed > max_window_ratio * block:
         return None
+    bwd_window = min(max(bwd_needed, bwd_window or 0), n)
     bwd_starts = np.clip(b_lo, 0, n - bwd_window).astype(np.int32)
 
     relT = np.empty((nblk, k, block), np.int32)

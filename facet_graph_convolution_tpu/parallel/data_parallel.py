@@ -332,7 +332,7 @@ def train_normals_dp(
     iters = num_iterations or cfg.train.num_iterations
 
     key = jax.random.PRNGKey(cfg.train.seed)
-    state, tx = create_train_state(key, cfg)
+    state, tx = create_train_state(key, cfg, num_steps=iters)
     step_fn = make_dp_train_step(tx, cfg, mesh, axis=axis)
 
     ckpt = CheckpointManager(cfg.train.network_path, cfg.train.net_name) if checkpoint else None

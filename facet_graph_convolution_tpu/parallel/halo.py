@@ -112,8 +112,55 @@ class GraphPartition:
         return self.levels[0]
 
 
+@dataclasses.dataclass(frozen=True)
+class LevelGeometry:
+    """Shape signature of one LevelPartition — the static geometry a compiled
+    sharded step depends on. Partitioning DIFFERENT meshes with a merged
+    (elementwise-max / offset-union) geometry yields identically-shaped
+    tables, so one jitted step serves them all (multi-mesh training without
+    per-mesh recompiles; ``train_normals_sharded_multi``)."""
+
+    offsets: Tuple[int, ...]
+    halo: int
+    cross_halo: int
+    use_cross: bool
+    k_n: int                         # deduped neighbours-only K width
+    k_t: int                         # row-major transpose slot width
+    k_tl: int                        # lane slot-map width
+
+
+def level_geometry(lvl: LevelPartition) -> LevelGeometry:
+    return LevelGeometry(
+        offsets=tuple(lvl.offsets),
+        halo=lvl.halo_size,
+        cross_halo=lvl.cross_halo,
+        use_cross=lvl.cross_send is not None,
+        k_n=lvl.local_adj.shape[2],
+        k_t=lvl.local_adj_t.shape[2],
+        k_tl=lvl.lane_adj_t.shape[1],
+    )
+
+
+def merge_geometry(a: LevelGeometry, b: LevelGeometry) -> LevelGeometry:
+    assert a.use_cross == b.use_cross, (
+        "cannot merge a ring-exchange level with an all_to_all level — "
+        "build both partitions with the same exchange mode"
+    )
+    return LevelGeometry(
+        offsets=tuple(sorted(set(a.offsets) | set(b.offsets),
+                             key=lambda d: (abs(d), d))),
+        halo=max(a.halo, b.halo),
+        cross_halo=max(a.cross_halo, b.cross_halo),
+        use_cross=a.use_cross,
+        k_n=max(a.k_n, b.k_n),
+        k_t=max(a.k_t, b.k_t),
+        k_tl=max(a.k_tl, b.k_tl),
+    )
+
+
 def _partition_level(
-    adj: np.ndarray, num_shards: int, devices_per_host: Optional[int] = None
+    adj: np.ndarray, num_shards: int, devices_per_host: Optional[int] = None,
+    geometry: Optional[LevelGeometry] = None,
 ) -> LevelPartition:
     n_total, k = adj.shape
     assert n_total % num_shards == 0, (n_total, num_shards)
@@ -155,11 +202,22 @@ def _partition_level(
         cross_req.append(xgroups)
 
     offsets = tuple(sorted(offsets_set, key=lambda d: (abs(d), d)))
+    if geometry is not None:
+        assert offsets_set <= set(geometry.offsets), (
+            "forced geometry is missing ring offsets this mesh needs",
+            sorted(offsets_set - set(geometry.offsets)),
+        )
+        assert geometry.use_cross == bool(dph), (
+            "forced geometry exchange mode mismatch"
+        )
+        offsets = geometry.offsets
     halo = 0
     for s in range(num_shards):
         for d in offsets:
             halo = max(halo, len(requested[s].get(d, ())))
     halo = max(halo, 1)
+    if geometry is not None:
+        halo = max(halo, geometry.halo)
     num_off = max(len(offsets), 1)
     cross_halo = 0
     for s in range(num_shards):
@@ -167,6 +225,8 @@ def _partition_level(
             cross_halo = max(cross_halo, len(rows_o))
     if dph:
         cross_halo = max(cross_halo, 1)
+    if geometry is not None:
+        cross_halo = max(cross_halo, geometry.cross_halo)
 
     send_idx = np.full((num_shards, num_off, halo), -1, dtype=np.int32)
     recv_mask = np.zeros((num_shards, num_off, halo), dtype=np.float32)
@@ -237,6 +297,8 @@ def _partition_level(
         mults.append(m_n)
         selfs.append(s_m)
     k_n = max(a.shape[1] for a in nbrs)
+    if geometry is not None:
+        k_n = max(k_n, geometry.k_n)
     local_adj = np.zeros((num_shards, block, k_n), dtype=np.int32)
     mult = np.zeros((num_shards, block, k_n), dtype=np.float32)
     for s in range(num_shards):
@@ -252,6 +314,8 @@ def _partition_level(
     t_maps = [transpose_adjacency(local_adj[s], num_targets=ext)
               for s in range(num_shards)]
     k_t = max(t.shape[1] for t in t_maps)
+    if geometry is not None:
+        k_t = max(k_t, geometry.k_t)
     local_adj_t = np.zeros((num_shards, ext, k_t), dtype=np.int32)
     for s, t in enumerate(t_maps):
         local_adj_t[s, :, : t.shape[1]] = t
@@ -266,6 +330,8 @@ def _partition_level(
     lane_adj = np.stack([p[0] for p in lane_pairs])
     # lane slot maps are [K_t, ext] (node axis minor — see lane_tables)
     k_tl = max(p[1].shape[0] for p in lane_pairs)
+    if geometry is not None:
+        k_tl = max(k_tl, geometry.k_tl)
     lane_adj_t = np.zeros((num_shards, k_tl, ext), dtype=np.int32)
     for s, (_, t) in enumerate(lane_pairs):
         lane_adj_t[s, : t.shape[0], :] = t
@@ -294,6 +360,7 @@ def build_partition(
     num_shards: int,
     devices_per_host: Optional[int] = None,
     exchange: str = "auto",
+    geometry: Optional[Sequence[Optional[LevelGeometry]]] = None,
 ) -> GraphPartition:
     """Partition a coarsening pyramid for D shards. The fine level size must
     be divisible by D × (coarsening group)^(levels−1) so every level splits
@@ -313,9 +380,17 @@ def build_partition(
     N nearly-all-pairs ppermutes cost far more than one all_to_all (measured
     −33% step time on the 8-device virtual mesh, bit-identical results)."""
     levels = []
-    for a in adjs:
+    for i, a in enumerate(adjs):
         a = np.asarray(a)
-        if devices_per_host is not None:
+        if geometry is not None and geometry[i] is not None:
+            # forced geometry pins the per-level shapes AND the exchange
+            # mode (use_cross ⇒ batched a2a tables), overriding ``exchange``
+            geo = geometry[i]
+            dph = devices_per_host if devices_per_host is not None else (
+                1 if geo.use_cross else None
+            )
+            lvl = _partition_level(a, num_shards, dph, geometry=geo)
+        elif devices_per_host is not None:
             lvl = _partition_level(a, num_shards, devices_per_host)
         elif exchange == "a2a":
             lvl = _partition_level(a, num_shards, 1)
@@ -461,6 +536,42 @@ def build_level_windows(
             )
         out.append(part._window_cache[key])
     return out
+
+
+def unify_level_windows(
+    parts: Sequence[GraphPartition],
+    variant: FacetConvVariant = FacetConvVariant.DEFAULT,
+    min_nodes: Optional[int] = None,
+    block: Optional[int] = None,
+):
+    """Make several same-geometry partitions share IDENTICAL windowed-gather
+    static geometry (window / bwd_window = max across meshes; a level that
+    windows in one mesh but not another is disabled for all), so one compiled
+    sharded step serves every mesh. Results land in each partition's window
+    cache, where :func:`build_level_windows` (and hence
+    ``make_sharded_train_step``) picks them up."""
+    from facet_graph_convolution_tpu.graph.convert import windowed_lane_tables
+
+    if block is None:
+        block = WINDOWED_BLOCK
+    per_part = [
+        build_level_windows(p, min_nodes=min_nodes, block=block, variant=variant)
+        for p in parts
+    ]
+    for i in range(len(parts[0].levels)):
+        wts = [pp[i] for pp in per_part]
+        if any(wt is None for wt in wts):
+            for p in parts:
+                p._window_cache[(i, block)] = None
+            continue
+        wmax = max(wt.window for wt in wts)
+        bmax = max(wt.bwd_window for wt in wts)
+        for p, wt in zip(parts, wts):
+            if wt.window != wmax or wt.bwd_window != bmax:
+                p._window_cache[(i, block)] = windowed_lane_tables(
+                    p.levels[i].local_adj[0], block=block,
+                    window=wmax, bwd_window=bmax,
+                )
 
 
 # ---------------------------------------------------------------------------
@@ -1112,14 +1223,18 @@ def make_sharded_train_step(
     return step
 
 
-def _prepare_sharded_mesh_arrays(cfg, patch, mesh, axis):
+def _prepare_sharded_mesh_arrays(cfg, patch, mesh, axis, target_nodes=None):
     """Pad + partition one whole-mesh patch for the mesh and stage its
-    input/GT arrays (globally sharded in multi-process runs)."""
+    input/GT arrays (globally sharded in multi-process runs).
+    ``target_nodes`` overrides the bucket (multi-mesh common bucket)."""
     from facet_graph_convolution_tpu.data.dataset import bucket_size, pad_patch_to
 
     n_dev = mesh.shape[axis]
     group = (2 ** cfg.model.coarsening_steps) ** (cfg.model.coarsening_levels - 1)
-    padded = pad_patch_to(patch, bucket_size(patch.num_nodes, group * n_dev))
+    tgt = bucket_size(patch.num_nodes, group * n_dev)
+    if target_nodes is not None:
+        tgt = max(tgt, target_nodes)
+    padded = pad_patch_to(patch, tgt)
     dph = jax.local_device_count() if jax.process_count() > 1 else None
     part = build_partition(padded.adjs, n_dev, devices_per_host=dph)
 
@@ -1168,11 +1283,15 @@ def train_normals_sharded(
     part, x, gt, n, stage = _prepare_sharded_mesh_arrays(cfg, patch, mesh, axis)
 
     key = jax.random.PRNGKey(seed)
-    state, tx = create_train_state(key, cfg)
+    state, tx = create_train_state(key, cfg, num_steps=num_iterations)
     if jax.process_count() > 1:
         from facet_graph_convolution_tpu.parallel.distributed import replicate
 
         state = replicate(mesh, state)
+    else:
+        # commit under the step's replicated output sharding (see the
+        # multi-mesh driver: avoids a first-step-only second compile)
+        state = jax.device_put(state, jax.sharding.NamedSharding(mesh, P()))
     step = make_sharded_train_step(tx, cfg, part, mesh, axis=axis)
 
     ckpt = CheckpointManager(cfg.train.network_path, cfg.train.net_name) if checkpoint else None
@@ -1239,4 +1358,180 @@ def train_normals_sharded(
         csv_path = os.path.join(cfg.train.network_path, cfg.train.net_name + ".csv")
         with open(csv_path, "ab") as fh:
             np.savetxt(fh, np.asarray(loss_hist, dtype=np.float64), delimiter=",")
+    return state, np.asarray(losses)
+
+
+def prepare_sharded_mesh_bank(cfg, patches, mesh, axis: str = "graph"):
+    """Partition SEVERAL whole-mesh patches so one compiled sharded step
+    serves them all: pad every mesh to the common node bucket, partition with
+    the merged (offset-union / max-width) :class:`LevelGeometry`, and unify
+    the windowed-gather static geometry.
+
+    Returns ``(parts, xs, gts, num_nodes, stage)``. Meshes whose first-pass
+    geometry already equals the merged geometry skip the second partition
+    pass (identical-topology meshes — e.g. the same CAD model at several
+    noise levels — unify for free)."""
+    from facet_graph_convolution_tpu.data.dataset import bucket_size, pad_patch_to
+    from facet_graph_convolution_tpu.training.trainer import _config_variant
+
+    n_dev = mesh.shape[axis]
+    group = (2 ** cfg.model.coarsening_steps) ** (cfg.model.coarsening_levels - 1)
+    target = max(bucket_size(p.num_nodes, group * n_dev) for p in patches)
+    padded = [pad_patch_to(p, target) for p in patches]
+    dph = jax.local_device_count() if jax.process_count() > 1 else None
+
+    # pass 1: per-mesh partitions (auto exchange); unify the per-level
+    # exchange mode first — a level that batches cross-host/a2a tables in ANY
+    # mesh must do so in all (merge_geometry requires matching modes)
+    parts = [build_partition(pp.adjs, n_dev, devices_per_host=dph)
+             for pp in padded]
+    nlev = len(parts[0].levels)
+    for i in range(nlev):
+        if any(pt.levels[i].cross_send is not None for pt in parts):
+            for m, pt in enumerate(parts):
+                if pt.levels[i].cross_send is None:
+                    pt.levels[i] = _partition_level(
+                        np.asarray(padded[m].adjs[i]), n_dev, dph or 1
+                    )
+
+    geoms = [level_geometry(lvl) for lvl in parts[0].levels]
+    for pt in parts[1:]:
+        geoms = [merge_geometry(g, level_geometry(lvl))
+                 for g, lvl in zip(geoms, pt.levels)]
+
+    # pass 2: rebuild only the meshes whose shapes diverge from the merge
+    for m, pt in enumerate(parts):
+        if any(level_geometry(lvl) != g for lvl, g in zip(pt.levels, geoms)):
+            parts[m] = build_partition(
+                padded[m].adjs, n_dev, devices_per_host=dph, geometry=geoms
+            )
+    unify_level_windows(parts, variant=_config_variant(cfg))
+
+    if jax.process_count() > 1:
+        from facet_graph_convolution_tpu.parallel.distributed import distribute
+
+        stage = lambda a: distribute(mesh, P(axis), np.asarray(a))
+    else:
+        row_sharding = jax.sharding.NamedSharding(mesh, P(axis))
+        stage = lambda a: jax.device_put(jnp.asarray(a), row_sharding)
+    xs = [stage(pp.inputs) for pp in padded]
+    gts = [stage(pp.gt_normals) for pp in padded]
+    return parts, xs, gts, target, stage
+
+
+def train_normals_sharded_multi(
+    cfg: Config,
+    patches: Sequence,
+    mesh: Mesh,
+    num_iterations: int,
+    axis: str = "graph",
+    loss_samples: Optional[int] = None,
+    log_every: int = 50,
+    seed: int = 0,
+    checkpoint: bool = False,
+    remat: bool = False,
+):
+    """Dataset-scale sharded training: cycle SEVERAL large edge-partitioned
+    meshes in one driver call with one compiled step (the single-mesh
+    :func:`train_normals_sharded` is locked to one partition). The reference
+    cycles training patches the same way (random patch per iteration,
+    train.py:558); here each "patch" is a whole edge-partitioned mesh.
+
+    Compile reuse: all meshes are padded to a common bucket and partitioned
+    with merged :class:`LevelGeometry` (``prepare_sharded_mesh_bank``), so the
+    per-mesh table pytrees are shape-identical and ``step.raw`` — which takes
+    the tables as jit ARGUMENTS — hits one compiled executable for every mesh
+    (asserted loudly below; a silent shape divergence would recompile per
+    mesh, minutes at the million-node scale)."""
+    from facet_graph_convolution_tpu.training.checkpoint import CheckpointManager
+    from facet_graph_convolution_tpu.training.trainer import (
+        _config_variant,
+        create_train_state,
+    )
+
+    parts, xs, gts, n, stage = prepare_sharded_mesh_bank(cfg, patches, mesh, axis)
+    variant = _config_variant(cfg)
+
+    key = jax.random.PRNGKey(seed)
+    state, tx = create_train_state(key, cfg, num_steps=num_iterations)
+    if jax.process_count() > 1:
+        from facet_graph_convolution_tpu.parallel.distributed import replicate
+
+        state = replicate(mesh, state)
+    else:
+        # commit under the step's replicated output sharding NOW: an
+        # uncommitted fresh state otherwise compiles a second, first-step-only
+        # executable (minutes of wasted compile at the million-node scale)
+        state = jax.device_put(state, jax.sharding.NamedSharding(mesh, P()))
+    step = make_sharded_train_step(tx, cfg, parts[0], mesh, axis=axis, remat=remat)
+
+    ops_list = [step.operands]
+    if jax.process_count() > 1:
+        from facet_graph_convolution_tpu.parallel.distributed import distribute
+
+        stage_tables = lambda a: distribute(mesh, P(axis), np.asarray(a))
+    else:
+        table_sharding = jax.sharding.NamedSharding(mesh, P(axis))
+        stage_tables = lambda a: jax.device_put(a, table_sharding)
+    for pt in parts[1:]:
+        windows = build_level_windows(pt, variant=variant)   # unified, cached
+        ops = partition_operands_nminor(pt, windows)
+        ops_list.append(jax.tree.map(stage_tables, ops))
+    ref_struct = jax.tree.structure(ops_list[0])
+    ref_shapes = [(a.shape, a.dtype) for a in jax.tree.leaves(ops_list[0])]
+    for m, ops in enumerate(ops_list[1:], 1):
+        assert jax.tree.structure(ops) == ref_struct, f"mesh {m}: tree structure diverges"
+        got = [(a.shape, a.dtype) for a in jax.tree.leaves(ops)]
+        assert got == ref_shapes, (
+            f"mesh {m}: operand shapes diverge from mesh 0 — the step would "
+            f"recompile per mesh"
+        )
+
+    ckpt = CheckpointManager(cfg.train.network_path, cfg.train.net_name) if checkpoint else None
+    start_step = 0
+    if ckpt is not None:
+        state, start_step = ckpt.restore(state)
+        if start_step:
+            state = jax.device_put(state, jax.sharding.NamedSharding(mesh, P()))
+
+    samples = loss_samples or cfg.train.loss_samples
+    augment = cfg.train.augment_rotations
+    rng = np.random.default_rng(seed)
+    losses: List[float] = []
+    loss_hist: List[Tuple[float, float]] = []
+    aborted = False
+    with mesh:
+        for it in range(num_iterations):
+            m = int(rng.integers(len(ops_list)))
+            mask = np.zeros(n, np.float32)
+            mask[rng.integers(0, n, size=samples)] = 1.0
+            key, sub = jax.random.split(key)
+            state, loss = step.raw(state, xs[m], gts[m], stage(mask),
+                                   sub if augment else None, ops_list[m])
+            losses.append(float(loss))
+            if it % log_every == 0:
+                avg = float(np.mean(losses[-log_every:]))
+                loss_hist.append((avg, float("nan")))
+                print(f"iter {it}: sharded multi-mesh loss {avg:.4f} (mesh {m})")
+                if not np.isfinite(avg):
+                    print("NaN training loss — aborting")
+                    aborted = True
+                    break
+            if ckpt is not None and it > 0 and it % cfg.train.save_every == 0:
+                if not np.isfinite(float(losses[-1])):
+                    print("NaN training loss — aborting at checkpoint")
+                    aborted = True
+                    break
+                ckpt.save(start_step + it, state)
+    if ckpt is not None:
+        if not aborted:
+            ckpt.save(start_step + num_iterations, state)
+        ckpt.close()
+    if jax.process_index() == 0 and loss_hist:
+        os.makedirs(cfg.train.network_path, exist_ok=True)
+        csv_path = os.path.join(cfg.train.network_path, cfg.train.net_name + ".csv")
+        with open(csv_path, "ab") as fh:
+            np.savetxt(fh, np.asarray(loss_hist, dtype=np.float64), delimiter=",")
+    # expose the jit cache for compile-reuse checks (tests)
+    train_normals_sharded_multi.last_cache_size = step.raw._cache_size()
     return state, np.asarray(losses)

@@ -67,7 +67,11 @@ def create_train_state(
     cfg: Config,
     multi_scale: bool = False,
     in_channels: int = 6,
+    num_steps: Optional[int] = None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
+    """``num_steps`` sizes the cosine decay horizon when
+    ``cfg.train.lr_schedule == "cosine"`` (drivers pass their iteration
+    budget); constant-LR ignores it."""
     params = init_unet(
         key,
         in_channels=in_channels,
@@ -80,7 +84,21 @@ def create_train_state(
         std_dev_bias=cfg.model.std_dev_bias,
         variant=_config_variant(cfg),
     )
-    tx = optax.adam(cfg.train.learning_rate)
+    if cfg.train.lr_schedule == "cosine":
+        total = num_steps or cfg.train.num_iterations
+        warmup = min(cfg.train.lr_warmup_steps, max(total // 10, 1))
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.train.learning_rate,
+            warmup_steps=warmup,
+            decay_steps=max(total, warmup + 1),
+            end_value=cfg.train.learning_rate * cfg.train.lr_min_ratio,
+        )
+    elif cfg.train.lr_schedule == "constant":
+        lr = cfg.train.learning_rate
+    else:
+        raise ValueError(f"unknown lr_schedule: {cfg.train.lr_schedule!r}")
+    tx = optax.adam(lr)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
 
 
@@ -402,7 +420,7 @@ def train_normals(
     iters = num_iterations or cfg.train.num_iterations
     log_every = log_every or cfg.train.eval_every
     key = jax.random.PRNGKey(cfg.train.seed)
-    state, tx = create_train_state(key, cfg)
+    state, tx = create_train_state(key, cfg, num_steps=iters)
     step_fn = make_normals_train_step(tx, cfg)
     eval_fn = make_normals_eval_step(cfg)
 
@@ -619,7 +637,7 @@ def train_normals_streaming(
 
     iters = num_iterations or cfg.train.num_iterations
     key = jax.random.PRNGKey(cfg.train.seed)
-    state, tx = create_train_state(key, cfg)
+    state, tx = create_train_state(key, cfg, num_steps=iters)
     step_fn = make_normals_train_step(tx, cfg)
     ckpt = CheckpointManager(cfg.train.network_path, cfg.train.net_name)
     state, start_step = ckpt.restore(state)
@@ -918,7 +936,7 @@ def train_with_vertices(
     loop-invariant, which is the faster regime anyway, see chunk-DP)."""
     iters = num_iterations or cfg.train.num_iterations
     key = jax.random.PRNGKey(cfg.train.seed)
-    state, tx = create_train_state(key, cfg, multi_scale=True)
+    state, tx = create_train_state(key, cfg, multi_scale=True, num_steps=iters)
     step_fn = make_vertex_train_step(tx, cfg, normals_weight=normals_weight)
 
     ckpt = CheckpointManager(cfg.train.network_path, cfg.train.net_name)

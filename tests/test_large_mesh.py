@@ -60,6 +60,89 @@ def test_sharded_training_driver_runs():
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+def _patchset(shapes, seed=0):
+    """TrainingSet over several (v, f) meshes, one whole-mesh patch each."""
+    rng = np.random.default_rng(seed)
+    ds = TrainingSet(
+        max_patch_size=10**9, coarsening_steps=2, coarsening_levels=3,
+        k_faces=23, seed=0,
+    )
+    for v, f in shapes:
+        ds.add_mesh(add_vertex_noise(v, f, 0.2, rng), f, gt_vertices=v)
+    return ds.patches
+
+
+def test_forced_geometry_partition_parity():
+    """A partition rebuilt under MERGED geometry (offset union, max widths,
+    forced halo padding) must produce the exact same sharded forward as the
+    mesh's natural partition — the correctness core of multi-mesh compile
+    reuse."""
+    import jax.numpy as jnp
+
+    from facet_graph_convolution_tpu.models.unet import init_unet, unet_apply
+    from facet_graph_convolution_tpu.ops.normalization import normalize_tensor
+    from facet_graph_convolution_tpu.parallel.halo import (
+        build_partition,
+        level_geometry,
+        merge_geometry,
+        sharded_unet_apply,
+    )
+    from facet_graph_convolution_tpu.data.synthetic import torus
+
+    patches = _patchset([icosphere(3), torus(nu=40, nv=16)])
+    from facet_graph_convolution_tpu.data.dataset import bucket_size, pad_patch_to
+
+    target = max(bucket_size(p.num_nodes, 16 * 8) for p in patches)
+    padded = [pad_patch_to(p, target) for p in patches]
+    parts = [build_partition(pp.adjs, 8) for pp in padded]
+    geoms = [
+        merge_geometry(level_geometry(a), level_geometry(b))
+        for a, b in zip(parts[0].levels, parts[1].levels)
+    ]
+    params = init_unet(jax.random.PRNGKey(0), in_channels=6,
+                       channels=(8, 16, 32), num_filters=4, fc_channels=32)
+    mesh = make_mesh((1, 8), ("data", "graph"))
+    for pp, natural in zip(padded, parts):
+        forced = build_partition(pp.adjs, 8, geometry=geoms)
+        for lvl, g in zip(forced.levels, geoms):
+            assert level_geometry(lvl) == g
+        x = jnp.asarray(pp.inputs)
+        adjs = tuple(jnp.asarray(a) for a in pp.adjs)
+        ref = normalize_tensor(jax.jit(unet_apply)(params, x, adjs))
+        with mesh:
+            out = jax.jit(
+                lambda p, xx, part=forced: sharded_unet_apply(p, xx, part, mesh)
+            )(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_multi_mesh_sharded_training_single_compile(tmp_path):
+    """Two topologically different meshes train in ONE driver call through
+    ONE compiled step (VERDICT round-3 item 7): geometry-unified partitions
+    make every mesh's operand pytree shape-identical, so step.raw's jit
+    cache stays at a single entry."""
+    from facet_graph_convolution_tpu.data.synthetic import torus
+    from facet_graph_convolution_tpu.parallel.halo import (
+        train_normals_sharded_multi,
+    )
+
+    patches = _patchset([icosphere(3), torus(nu=40, nv=16)])
+    cfg = default_config().replace(
+        model={"channels": (8, 16, 32), "num_filters": 4, "fc_channels": 32},
+        train={"loss_samples": 512, "network_path": str(tmp_path),
+               "net_name": "multinet"},
+    )
+    mesh = make_mesh((1, 8), ("data", "graph"))
+    state, losses = train_normals_sharded_multi(
+        cfg, patches, mesh, num_iterations=60, log_every=20,
+    )
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-20:]) < np.mean(losses[:20])
+    assert train_normals_sharded_multi.last_cache_size == 1, (
+        "multi-mesh step recompiled per mesh"
+    )
+
+
 def test_sharded_driver_nan_abort_skips_final_checkpoint(tmp_path):
     """A NaN run must abort WITHOUT persisting the poisoned state as the
     final checkpoint (VERDICT round-3 weak item 3; same guard as the other
