@@ -295,7 +295,7 @@ def measure_dp(steps=20, repeats=3, subdiv=5, selection="chunk"):
     }
 
 
-def build_vertex_runner(steps=10, subdiv=4, bf16=True):
+def build_vertex_runner(steps=10, subdiv=4, bf16=True, solver=None):
     """Build + compile + warm the scanned end-to-end VERTEX training program
     (multiScale forward → 120-iteration multi-scale solver → sampled chamfer;
     reference ``trainAccuracyNet`` semantics, train.py:636-914). Shared by
@@ -330,6 +330,8 @@ def build_vertex_runner(steps=10, subdiv=4, bf16=True):
     cfg = default_config()
     if bf16:
         cfg = cfg.replace(model={"compute_dtype": "bfloat16"})
+    if solver is not None:
+        cfg = cfg.replace(eval={"vertex_solver": solver})
     state, tx = create_train_state(jax.random.PRNGKey(0), cfg,
                                    multi_scale=True)
     step_fn = make_vertex_train_step(tx, cfg)
@@ -341,6 +343,10 @@ def build_vertex_runner(steps=10, subdiv=4, bf16=True):
         None if p.gt_normals is None else jnp.asarray(p.gt_normals),
         adj_ts, mults,
     )
+    if cfg.eval.vertex_solver == "operator":
+        from facet_graph_convolution_tpu.training.trainer import _solver_tables
+
+        patch_args = patch_args + (_solver_tables(cfg, p),)
     keys = jax.random.split(jax.random.PRNGKey(1), steps)
     run = step_fn.scanned
     state, losses = run(state, patch_args, keys)         # compile + warmup

@@ -138,6 +138,11 @@ class EvalConfig:
     # multi-scale solver schedule, coarse→fine is reversed internally
     # (train.py:248 uses [80, 20, 20]).
     ms_solver_iterations: tuple = (80, 20, 20)
+    # Multi-scale solver implementation: "operator" (deduped linear-operator
+    # body, scatter-free both directions — exact to fp reassociation, see
+    # ops.vertex_update.update_positions_multiscale_operator) or "naive"
+    # (per-slot body mirroring the reference's formulation).
+    vertex_solver: str = "operator"
 
 
 @dataclass(frozen=True)

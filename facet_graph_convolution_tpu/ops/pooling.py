@@ -57,6 +57,17 @@ def tree_pool_nminor(x_t: jnp.ndarray, steps: int = 1, mode: str = "max") -> jnp
         return jnp.max(x_t.reshape(c, -1, group), axis=-1)
     if mode == "avg":
         return jnp.mean(x_t.reshape(c, -1, group), axis=-1)
+    if mode == "avg_ignore_zeros":
+        px = x_t
+        for _ in range(steps):
+            pair = px.reshape(c, -1, 2)
+            a, b = pair[..., 0], pair[..., 1]
+            a_zero = jnp.all(a == 0, axis=0, keepdims=True)
+            b_zero = jnp.all(b == 0, axis=0, keepdims=True)
+            ca = jnp.where(a_zero, b, a)
+            cb = jnp.where(b_zero, a, b)
+            px = (ca + cb) / 2.0
+        return px
     raise ValueError(f"unknown node-minor pool mode {mode!r}")
 
 

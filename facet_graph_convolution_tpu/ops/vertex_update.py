@@ -138,6 +138,7 @@ def update_positions_multiscale(
     coarsening_steps: int = 2,
     iter_nums: Sequence[int] = (80, 20, 20),
     checkpoint: bool = True,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """Coarse→fine vertex projection solver (reference ``update_position_MS``,
     train.py:1668-1765).
@@ -183,6 +184,117 @@ def update_positions_multiscale(
 
         if checkpoint:
             body = jax.checkpoint(body)
-        x = jax.lax.fori_loop(0, int(iter_nums[s]), body, x)
+        x = jax.lax.fori_loop(0, int(iter_nums[s]), body, x, unroll=unroll)
         dx_list.append(x - x_init)
     return x, dx_list
+
+
+def build_solver_tables(
+    v_faces,
+    num_faces_per_level: Sequence[int],
+    num_vertices: int,
+    coarsening_steps: int = 2,
+):
+    """Host-side static tables for :func:`update_positions_multiscale_operator`.
+
+    Per scale s: the vertex→level-s-face incidence DEDUPED (each of a
+    vertex's 25 fine-face slots maps to a level-s node by integer division;
+    at the coarsest scale the 25 slots collapse to ~2-4 distinct nodes) plus
+    lane gather tables for scatter-free backwards, and the face→vertex lane
+    tables for the per-iteration centroid computation. Everything here is a
+    pure function of the (static) mesh structure — built once per patch, then
+    threaded through the jitted step as arguments.
+
+    Returns a tuple pytree of jnp arrays:
+    ``(per_scale, faces_adjT, faces_adjT_t)`` with ``per_scale[s] =
+    (adjT [K_u, V], adjT_t [S, F_s], multT [K_u, V])``.
+    """
+    import numpy as np
+
+    from facet_graph_convolution_tpu.graph.convert import (
+        dedupe_klist,
+        lane_tables,
+    )
+
+    v_faces = np.asarray(v_faces)
+    per_scale = []
+    group = 2 ** coarsening_steps
+    for s, f_s in enumerate(num_faces_per_level):
+        # floor division keeps −1 pads negative → 0 after the +1 one-index
+        vf1 = np.where(v_faces < 0, 0, (v_faces // group ** s) + 1)
+        vf_u, mult = dedupe_klist(vf1.astype(np.int32))
+        adjT, adjT_t = lane_tables(vf_u, num_sources=int(f_s))
+        per_scale.append((
+            jnp.asarray(adjT),
+            jnp.asarray(adjT_t),
+            jnp.asarray(np.ascontiguousarray(mult.T)),
+        ))
+    return tuple(per_scale)
+
+
+def update_positions_multiscale_operator(
+    x: jnp.ndarray,
+    face_normals_list: Sequence[jnp.ndarray],
+    faces: jnp.ndarray,
+    v_faces: jnp.ndarray,
+    tables,
+    coarsening_steps: int = 2,
+    iter_nums: Sequence[int] = (80, 20, 20),
+    checkpoint: bool = True,
+    unroll: int = 1,
+) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """Linear-operator formulation of the multi-scale solver — same math as
+    :func:`update_positions_multiscale` (up to fp reassociation), rebuilt
+    around the observation that each iteration is LINEAR in x for fixed
+    normals:
+
+        update_v = Σ_k n_vk (t[vf_vk] − n_vk·x_v)
+                 = Σ_u mult_vu·t[vf_u]·n_vu  −  P_v x_v,
+        P_v = Σ_u mult_vu n_vu n_vuᵀ   (loop-invariant, hoisted)
+
+    with the per-slot structure DEDUPED per scale (``tables`` from
+    :func:`build_solver_tables`): duplicate (vertex, face) slots carry
+    identical terms, so the per-iteration t-gather shrinks from V·25 scalar
+    rows to the distinct-face count (~13 fine, ~3 coarse), and both gather
+    directions ride the scatter-free lane machinery
+    (ops.gather.gather_neighbors_lane) instead of the fwd-scalar-gather +
+    bwd-scalar-scatter pair that dominates the naive body's profile
+    (112.8 + 66.8 of 232.9 ms/step measured on v5e — BASELINE.md round 4).
+
+    The reference's per-vertex step size 1/|v_faces| and zero-padding
+    semantics are preserved exactly (train.py:1706-1760)."""
+    from facet_graph_convolution_tpu.ops.gather import gather_neighbors_lane
+
+    levels = len(face_normals_list)
+    real = v_faces >= 0
+    num_f = jnp.sum(real.astype(x.dtype), axis=-1)
+    lmbd = jnp.where(num_f > 0, 1.0 / jnp.maximum(num_f, 1.0), 0.0)[None, :]
+
+    x_t = x.T                                            # [3, V] node-minor
+    dx_list: List[jnp.ndarray] = []
+    for s in range(levels):
+        cur_scale = levels - 1 - s
+        adjT, adjT_t, multT = tables[cur_scale]
+        fn = face_normals_list[cur_scale].reshape(-1, 3)
+        fn_t = fn.T                                      # [3, F_s]
+        # loop-invariant: per-slot normals (zero column for pad slots) and
+        # the per-vertex projector P (n nᵀ summed with multiplicities)
+        n_vu = gather_neighbors_lane(fn_t, adjT, adjT_t)     # [3, K_u, V]
+        p_t = jnp.einsum("akv,bkv,kv->abv", n_vu, n_vu, multT)   # [3, 3, V]
+        x_init_t = x_t
+
+        def body(_, x_t, adjT=adjT, adjT_t=adjT_t, multT=multT,
+                 n_vu=n_vu, p_t=p_t, fn=fn, cur_scale=cur_scale):
+            fpos = face_centers_pyramid(
+                x_t.T, faces, coarsening_steps, levels)[cur_scale]
+            t = jnp.sum(fn * fpos, axis=-1)              # [F_s]
+            t_vu = gather_neighbors_lane(t[None], adjT, adjT_t)[0]  # [K_u, V]
+            term1 = jnp.sum((multT * t_vu)[None] * n_vu, axis=1)    # [3, V]
+            px = jnp.einsum("abv,bv->av", p_t, x_t)
+            return x_t + lmbd * (term1 - px)
+
+        if checkpoint:
+            body = jax.checkpoint(body)
+        x_t = jax.lax.fori_loop(0, int(iter_nums[s]), body, x_t, unroll=unroll)
+        dx_list.append((x_t - x_init_t).T)
+    return x_t.T, dx_list

@@ -821,6 +821,21 @@ def train_normals_streaming(
 # against the GT point set, optionally + normal supervision.
 # ---------------------------------------------------------------------------
 
+def _solver_tables(cfg: Config, p: FacetPatch):
+    """Static operator-solver tables for one vertex patch
+    (ops.vertex_update.build_solver_tables)."""
+    from facet_graph_convolution_tpu.ops.vertex_update import (
+        build_solver_tables,
+    )
+
+    return build_solver_tables(
+        p.v_faces,
+        [a.shape[0] for a in p.adjs],
+        p.vertices.shape[0],
+        coarsening_steps=cfg.model.coarsening_steps,
+    )
+
+
 def make_vertex_train_step(
     tx: optax.GradientTransformation,
     cfg: Config,
@@ -847,7 +862,7 @@ def make_vertex_train_step(
     alpha = cfg.model.lrelu_alpha
 
     def _loss(params, x, adjs, vertices, gt_vertices, faces, v_faces,
-              gt_normals, key, adj_ts, mults):
+              gt_normals, key, adj_ts, mults, solver_tables=None):
         rot_key, s0_key, s1_key = jax.random.split(key, 3)
         rot = random_rotation(rot_key)
         x_rot = rotate_inputs(rot, x)
@@ -863,10 +878,22 @@ def make_vertex_train_step(
         n0 = normalize_tensor(y0)
         n1 = normalize_tensor(y1)
         n2 = normalize_tensor(y2)
-        refined, _ = update_positions_multiscale(
-            v_rot, [n0, n1, n2], faces, v_faces,
-            coarsening_steps=steps, iter_nums=iter_nums,
-        )
+        if solver_tables is not None:
+            # deduped linear-operator solver body (exact; scatter-free both
+            # directions — BASELINE.md round-4 vertex ladder)
+            from facet_graph_convolution_tpu.ops.vertex_update import (
+                update_positions_multiscale_operator,
+            )
+
+            refined, _ = update_positions_multiscale_operator(
+                v_rot, [n0, n1, n2], faces, v_faces, solver_tables,
+                coarsening_steps=steps, iter_nums=iter_nums,
+            )
+        else:
+            refined, _ = update_positions_multiscale(
+                v_rot, [n0, n1, n2], faces, v_faces,
+                coarsening_steps=steps, iter_nums=iter_nums,
+            )
         loss = full_chamfer_loss(refined, gtv_rot, idx0, idx1)
         if normals_weight > 0 and gt_normals is not None:
             gtn_rot = rotate_vec3(rot, gt_normals)
@@ -879,21 +906,23 @@ def make_vertex_train_step(
         return TrainState(params, opt_state, state.step + 1), loss
 
     def step(state, x, adjs, vertices, gt_vertices, faces, v_faces,
-             gt_normals, key, adj_ts=None, mults=None):
+             gt_normals, key, adj_ts=None, mults=None, solver_tables=None):
         loss, grads = jax.value_and_grad(_loss)(
             state.params, x, adjs, vertices, gt_vertices, faces, v_faces,
-            gt_normals, key, adj_ts, mults,
+            gt_normals, key, adj_ts, mults, solver_tables,
         )
         return _update(state, loss, grads)
 
     @jax.jit
     def scanned(state, args, keys):
-        x, adjs, vertices, gt_vertices, faces, v_faces, gt_normals, adj_ts, mults = args
+        (x, adjs, vertices, gt_vertices, faces, v_faces, gt_normals,
+         adj_ts, mults), solver_tables = args[:9], (
+            args[9] if len(args) > 9 else None)
 
         def body(state, key):
             loss, grads = jax.value_and_grad(_loss)(
                 state.params, x, adjs, vertices, gt_vertices, faces,
-                v_faces, gt_normals, key, adj_ts, mults,
+                v_faces, gt_normals, key, adj_ts, mults, solver_tables,
             )
             return _update(state, loss, grads)
 
@@ -902,9 +931,10 @@ def make_vertex_train_step(
     step_jit = jax.jit(step)
     step_jit.eval = jax.jit(  # type: ignore[attr-defined]
         lambda params, x, adjs, vertices, gt_vertices, faces, v_faces,
-               gt_normals, key, adj_ts=None, mults=None: _loss(
+               gt_normals, key, adj_ts=None, mults=None, solver_tables=None:
+        _loss(
             params, x, adjs, vertices, gt_vertices, faces, v_faces,
-            gt_normals, key, adj_ts, mults,
+            gt_normals, key, adj_ts, mults, solver_tables,
         )
     )
     step_jit.scanned = scanned  # type: ignore[attr-defined]
@@ -954,7 +984,8 @@ def train_with_vertices(
             None if p.gt_normals is None else jnp.asarray(p.gt_normals),
             adj_ts,
             mults,
-        )
+        ) + ((_solver_tables(cfg, p),)
+             if cfg.eval.vertex_solver == "operator" else ())
 
     arrays = [vertex_args(p) for p in train_set.patches]
     valid_args = (
@@ -967,9 +998,10 @@ def train_with_vertices(
         vloss = 0.0
         for vargs in valid_args:
             key, sub = jax.random.split(key)
-            vx, vadjs, vv, vgtv, vf, vvf, vgtn, vts, vm = vargs
+            vx, vadjs, vv, vgtv, vf, vvf, vgtn, vts, vm = vargs[:9]
+            vst = vargs[9] if len(vargs) > 9 else None
             vloss += float(step_fn.eval(state.params, vx, vadjs, vv, vgtv,
-                                        vf, vvf, vgtn, sub, vts, vm))
+                                        vf, vvf, vgtn, sub, vts, vm, vst))
         return vloss / len(valid_args), key
 
     rng = np.random.default_rng(cfg.train.seed)
@@ -989,11 +1021,13 @@ def train_with_vertices(
                 state, losses = step_fn.scanned(state, arrays[idx], keys)
                 losses = np.asarray(losses)
             else:
-                x, adjs, v, gtv, faces, v_faces, gtn, adj_ts, mults = arrays[idx]
+                x, adjs, v, gtv, faces, v_faces, gtn, adj_ts, mults = arrays[idx][:9]
+                stbl = arrays[idx][9] if len(arrays[idx]) > 9 else None
                 rem = []
                 for j in range(chunk):
                     state, loss = step_fn(state, x, adjs, v, gtv, faces,
-                                          v_faces, gtn, keys[j], adj_ts, mults)
+                                          v_faces, gtn, keys[j], adj_ts,
+                                          mults, stbl)
                     rem.append(float(loss))
                 losses = np.asarray(rem)
             it += chunk
@@ -1018,10 +1052,11 @@ def train_with_vertices(
                     break
                 ckpt.save(start_step + it, state)
             idx = int(rng.integers(len(arrays)))
-            x, adjs, v, gtv, faces, v_faces, gtn, adj_ts, mults = arrays[idx]
+            x, adjs, v, gtv, faces, v_faces, gtn, adj_ts, mults = arrays[idx][:9]
+            stbl = arrays[idx][9] if len(arrays[idx]) > 9 else None
             key, sub = jax.random.split(key)
             state, loss = step_fn(state, x, adjs, v, gtv, faces, v_faces, gtn,
-                                  sub, adj_ts, mults)
+                                  sub, adj_ts, mults, stbl)
             if valid_args and it % cfg.train.valid_every == 0:
                 last_valid, key = validate(state, key)
                 print(f"iter {it}: validation loss {last_valid:.4f}")

@@ -302,3 +302,63 @@ def test_update_positions_multiscale_runs_and_improves(cube, rng):
         return spread
 
     assert planarity(out) < planarity(noisy)
+
+
+def test_update_positions_multiscale_operator_parity(cube, rng):
+    """The linear-operator (deduped, scatter-free) solver reproduces the
+    naive per-slot body to fp tolerance — values AND gradients through both
+    x and the normals."""
+    import jax
+
+    from facet_graph_convolution_tpu.ops.vertex_update import (
+        build_solver_tables,
+        update_positions_multiscale_operator,
+    )
+
+    v, f = cube
+    faces16 = np.concatenate([f, -np.ones((4, 3), np.int64)], axis=0)
+    gt_n = compute_face_normals(v, f)
+    n_padded = np.concatenate([gt_n, np.zeros((4, 3), np.float32)], axis=0)
+    n_padded += rng.normal(scale=0.05, size=n_padded.shape).astype(np.float32)
+    n_padded[12:] = 0.0
+    n_mid = np.asarray(tree_pool(jnp.asarray(n_padded), 2, "avg_ignore_zeros"))
+    n_coarse = np.asarray(tree_pool(jnp.asarray(n_mid), 2, "avg_ignore_zeros"))
+    v_f = vertex_faces(faces16, k_v=25, vnum=8)
+    noisy = (v + rng.normal(scale=0.05, size=v.shape)).astype(np.float32)
+    normals = [jnp.asarray(n_padded), jnp.asarray(n_mid), jnp.asarray(n_coarse)]
+    tables = build_solver_tables(v_f, [16, 4, 1], 8, coarsening_steps=2)
+
+    def run_ref(x, ns):
+        out, dx = update_positions_multiscale(
+            x, ns, jnp.asarray(faces16), jnp.asarray(v_f),
+            coarsening_steps=2, iter_nums=(40, 20, 20))
+        return out, dx
+
+    def run_op(x, ns):
+        out, dx = update_positions_multiscale_operator(
+            x, ns, jnp.asarray(faces16), jnp.asarray(v_f), tables,
+            coarsening_steps=2, iter_nums=(40, 20, 20))
+        return out, dx
+
+    out_r, dx_r = run_ref(jnp.asarray(noisy), normals)
+    out_o, dx_o = run_op(jnp.asarray(noisy), normals)
+    np.testing.assert_allclose(np.asarray(out_o), np.asarray(out_r),
+                               atol=2e-5, rtol=1e-4)
+    for a, b in zip(dx_o, dx_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+    # gradient parity through a scalar functional of the output
+    def loss_ref(x, ns):
+        return jnp.sum(jnp.sin(run_ref(x, ns)[0]))
+
+    def loss_op(x, ns):
+        return jnp.sum(jnp.sin(run_op(x, ns)[0]))
+
+    gx_r, gn_r = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(noisy), normals)
+    gx_o, gn_o = jax.grad(loss_op, argnums=(0, 1))(jnp.asarray(noisy), normals)
+    np.testing.assert_allclose(np.asarray(gx_o), np.asarray(gx_r),
+                               atol=5e-4, rtol=1e-3)
+    for a, b in zip(gn_o, gn_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
