@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_CPU.json")
+VERTEX_BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "BASELINE_VERTEX_CPU.json")
 
 
 def build_bench_patch(subdiv=5, seed=0):
@@ -418,12 +420,29 @@ def main():
     if args.vertex:
         result = measure_vertex(steps=min(args.steps, 10),
                                 subdiv=min(args.subdiv, 4),
-                                bf16=not args.f32)
+                                bf16=not args.f32 and not args.cpu)
+        if args.cpu:
+            with open(VERTEX_BASELINE_FILE, "w") as fh:
+                json.dump(result, fh, indent=2)
+            print(json.dumps({
+                "metric": "vertex_train_step_ms_cpu",
+                "value": round(result["median_step_s"] * 1e3, 2),
+                "unit": "ms/step",
+                "vs_baseline": 1.0,
+            }))
+            return
+        baseline = None
+        if os.path.isfile(VERTEX_BASELINE_FILE):
+            with open(VERTEX_BASELINE_FILE) as fh:
+                baseline = json.load(fh)
+        # speedup over the methodology-matched CPU run of the same program
+        vs = (baseline["median_step_s"] / result["median_step_s"]
+              if baseline else -1.0)
         print(json.dumps({
             "metric": "vertex_train_step_ms",
             "value": round(result["median_step_s"] * 1e3, 2),
             "unit": "ms/step",
-            "vs_baseline": -1.0,
+            "vs_baseline": round(vs, 3),
             "nodes": result["nodes"],
             "vertices": result["vertices"],
         }))

@@ -132,8 +132,19 @@ def infer_with_vertices(
         )
         return normalize_tensor(y0), normalize_tensor(y1), normalize_tensor(y2)
 
+    use_operator = cfg.eval.vertex_solver == "operator"
+
     @jax.jit
-    def solve(v, n0, n1, n2, faces, v_faces):
+    def solve(v, n0, n1, n2, faces, v_faces, tables=None):
+        if tables is not None:
+            from facet_graph_convolution_tpu.ops.vertex_update import (
+                update_positions_multiscale_operator,
+            )
+
+            return update_positions_multiscale_operator(
+                v, [n0, n1, n2], faces, v_faces, tables,
+                coarsening_steps=steps, iter_nums=iter_nums, checkpoint=False,
+            )
         refined, dx = update_positions_multiscale(
             v, [n0, n1, n2], faces, v_faces,
             coarsening_steps=steps, iter_nums=iter_nums, checkpoint=False,
@@ -154,9 +165,16 @@ def infer_with_vertices(
         x = jnp.asarray(patch.inputs)
         adjs, adj_ts, mults = _graph_arrays(patch.adjs)
         n0, n1, n2 = forward(params, x, adjs, adj_ts, mults)
+        tables = None
+        if use_operator:
+            from facet_graph_convolution_tpu.training.trainer import (
+                _solver_tables,
+            )
+
+            tables = _solver_tables(cfg, patch)
         refined, dx = solve(
             jnp.asarray(patch.vertices), n0, n1, n2,
-            jnp.asarray(patch.faces), jnp.asarray(patch.v_faces),
+            jnp.asarray(patch.faces), jnp.asarray(patch.v_faces), tables,
         )
         refined = np.asarray(refined)
         refined_mid = refined - np.asarray(dx[2])

@@ -184,7 +184,14 @@ def update_positions_multiscale(
 
         if checkpoint:
             body = jax.checkpoint(body)
-        x = jax.lax.fori_loop(0, int(iter_nums[s]), body, x, unroll=unroll)
+        if unroll == 1:
+            # NOTE: do not pass unroll=1 — an explicit unroll switches
+            # fori_loop's lowering from while_loop to scan, whose remat
+            # transposition explodes compile time on the 120-iteration solver
+            x = jax.lax.fori_loop(0, int(iter_nums[s]), body, x)
+        else:
+            x = jax.lax.fori_loop(0, int(iter_nums[s]), body, x,
+                                  unroll=unroll)
         dx_list.append(x - x_init)
     return x, dx_list
 
@@ -295,6 +302,12 @@ def update_positions_multiscale_operator(
 
         if checkpoint:
             body = jax.checkpoint(body)
-        x_t = jax.lax.fori_loop(0, int(iter_nums[s]), body, x_t, unroll=unroll)
+        if unroll == 1:
+            # see update_positions_multiscale: explicit unroll forces the
+            # scan lowering, whose remat transposition compiles pathologically
+            x_t = jax.lax.fori_loop(0, int(iter_nums[s]), body, x_t)
+        else:
+            x_t = jax.lax.fori_loop(0, int(iter_nums[s]), body, x_t,
+                                    unroll=unroll)
         dx_list.append((x_t - x_init_t).T)
     return x_t.T, dx_list

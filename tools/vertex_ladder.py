@@ -89,7 +89,8 @@ def _install(solver):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="current",
-                   choices=("current", "vector_gather", "unroll4", "operator"))
+                   choices=("current", "naive", "vector_gather", "unroll4",
+                            "operator"))
     p.add_argument("--subdiv", type=int, default=4)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--repeats", type=int, default=3)
