@@ -408,6 +408,9 @@ def main():
     parser.add_argument("--vertex", action="store_true",
                         help="benchmark the end-to-end vertex training step "
                              "(chamfer through the 120-iteration solver)")
+    parser.add_argument("--vertex_subdiv", type=int, default=4,
+                        help="icosphere subdivision for --vertex (5 = the "
+                             "reference's ~20k-face patch regime)")
     parser.add_argument("--shards", type=int, default=None,
                         help="shard count for --sharded (default: all devices)")
     args = parser.parse_args()
@@ -419,7 +422,7 @@ def main():
 
     if args.vertex:
         result = measure_vertex(steps=min(args.steps, 10),
-                                subdiv=min(args.subdiv, 4),
+                                subdiv=args.vertex_subdiv,
                                 bf16=not args.f32 and not args.cpu)
         if args.cpu:
             with open(VERTEX_BASELINE_FILE, "w") as fh:

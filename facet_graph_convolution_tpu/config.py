@@ -143,6 +143,16 @@ class EvalConfig:
     # ops.vertex_update.update_positions_multiscale_operator) or "naive"
     # (per-slot body mirroring the reference's formulation).
     vertex_solver: str = "operator"
+    # Rematerialize the operator-solver loop body under grad. OFF by default:
+    # jax.checkpoint around the 120-iteration body triggers a deterministic
+    # XLA miscompile (all-NaN grads from provably finite inputs) at
+    # reference scale on BOTH backends — prevent_cse=False cures CPU but not
+    # TPU; dropping remat cures both (tools/repro_vertex_nan.py, BASELINE.md
+    # round 4). Without remat the saved per-iteration residuals are ~300 MB
+    # at 25k nodes — fine single-chip; flip on only for huge single-chip
+    # meshes, and watch for NaN-abort (the chamfer thresholds are
+    # NaN-transparent so poisoning aborts loudly).
+    solver_remat: bool = False
 
 
 @dataclass(frozen=True)

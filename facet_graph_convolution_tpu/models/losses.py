@@ -17,6 +17,29 @@ from facet_graph_convolution_tpu.ops.normalization import dot_last
 _CLOSE_TO_ONE = 0.9999999  # acos clamp (train.py:1278)
 
 
+def _pairwise_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs Euclidean distance [len(a), len(b)] with a NaN-safe
+    backward: ``jnp.linalg.norm``'s gradient is ``diff / dist`` — 0/0 = NaN
+    whenever a pair coincides exactly, and that NaN reaches EVERY parameter
+    through the min-reduction's unselected branches (mask · NaN = NaN).
+    ``sqrt(d² + tiny)`` keeps the gradient ``diff / sqrt(d² + tiny)`` → 0 at
+    coincident pairs; the 1e-20 offset shifts distances by < 1e-10, far
+    below the 1e-3-scale distances the chamfer losses operate on."""
+    d2 = jnp.sum(jnp.square(a[:, None, :] - b[None, :, :]), axis=-1)
+    return jnp.sqrt(d2 + 1e-20)
+
+
+def _threshold(dist: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """``dist`` where ≤ threshold else 0 — written NaN-TRANSPARENTLY.
+    The reference's ``where(dist <= thr, dist, 0)`` maps NaN distances to
+    0 (NaN <= thr is False), so a NaN-poisoned state trains on with a
+    plausible-looking finite loss and the drivers' NaN-abort guards never
+    fire. ``where(dist > thr, 0, dist)`` computes the identical value for
+    finite inputs and lets NaN through to the loss, turning silent collapse
+    into a loud abort."""
+    return jnp.where(dist > threshold, 0.0, dist)
+
+
 def _fake_node_mask(gt: jnp.ndarray) -> jnp.ndarray:
     """Fake (padding) nodes are those whose GT normal has |·|₁ ≤ 1e-3
     (reference train.py:1280-1281)."""
@@ -59,10 +82,10 @@ def accuracy_loss(
     """Thresholded precision + completeness between a sampled subset of p0 and
     the full p1, ×1000 (reference ``accuracyLoss``, train.py:1332-1369)."""
     sp0 = jnp.take(p0, sample_idx, axis=0)
-    dist = jnp.linalg.norm(sp0[:, None, :] - p1[None, :, :], axis=-1)
+    dist = _pairwise_dist(sp0, p1)
     precision = jnp.min(dist, axis=1)
     completeness = jnp.min(dist, axis=0)
-    precision = jnp.where(precision <= threshold, precision, 0.0)
+    precision = _threshold(precision, threshold)
     return 1000.0 * (jnp.mean(precision) + jnp.mean(completeness))
 
 
@@ -81,13 +104,13 @@ def full_chamfer_loss(
     sp0 = jnp.take(p0, sample_idx0, axis=0)
     sp1 = jnp.take(p1, sample_idx1, axis=0)
 
-    dist0 = jnp.linalg.norm(sp0[:, None, :] - p1[None, :, :], axis=-1)  # [s0, N1]
-    dist1 = jnp.linalg.norm(p0[:, None, :] - sp1[None, :, :], axis=-1)  # [N0, s1]
+    dist0 = _pairwise_dist(sp0, p1)                                     # [s0, N1]
+    dist1 = _pairwise_dist(p0, sp1)                                     # [N0, s1]
 
     precision = jnp.min(dist0, axis=1)
     completeness = jnp.min(dist1, axis=0)
-    precision = jnp.where(precision <= accuracy_threshold, precision, 0.0)
-    completeness = jnp.where(completeness <= completeness_threshold, completeness, 0.0)
+    precision = _threshold(precision, accuracy_threshold)
+    completeness = _threshold(completeness, completeness_threshold)
     return 1000.0 * (jnp.mean(precision) + jnp.mean(completeness))
 
 
@@ -96,8 +119,8 @@ def sampled_accuracy_loss(
 ) -> jnp.ndarray:
     """Full symmetric chamfer with precision thresholding (reference
     ``sampledAccuracyLoss``, train.py:1428-1462)."""
-    dist = jnp.linalg.norm(p0[:, None, :] - p1[None, :, :], axis=-1)
+    dist = _pairwise_dist(p0, p1)
     accu = jnp.min(dist, axis=1)
     completeness = jnp.min(dist, axis=0)
-    accu = jnp.where(accu <= threshold, accu, 0.0)
+    accu = _threshold(accu, threshold)
     return 1000.0 * (jnp.mean(accu) + jnp.mean(completeness))

@@ -69,7 +69,14 @@ def update_positions_edges(
         return x + lmbd * update
 
     if checkpoint:
-        body = jax.checkpoint(body)
+        # prevent_cse=False: the body runs under fori_loop (a while/scan
+        # lowering), where cross-iteration CSE cannot occur, so the
+        # barrier machinery is pure overhead — and the default barriers
+        # trigger a deterministic XLA miscompile (NaN grads from finite
+        # inputs) in the remat + custom-vjp-gather + 120-iteration
+        # composition at >20k-face scale (CPU and TPU backends alike;
+        # BASELINE.md round 4, tools/repro_vertex_nan.py)
+        body = jax.checkpoint(body, prevent_cse=False)
     return jax.lax.fori_loop(0, iter_num, body, x)
 
 
@@ -183,7 +190,9 @@ def update_positions_multiscale(
             return x + lmbd * update
 
         if checkpoint:
-            body = jax.checkpoint(body)
+            # prevent_cse=False: see update_positions (same rationale and
+            # the same miscompile trigger, BASELINE.md round 4)
+            body = jax.checkpoint(body, prevent_cse=False)
         if unroll == 1:
             # NOTE: do not pass unroll=1 — an explicit unroll switches
             # fori_loop's lowering from while_loop to scan, whose remat
@@ -301,7 +310,9 @@ def update_positions_multiscale_operator(
             return x_t + lmbd * (term1 - px)
 
         if checkpoint:
-            body = jax.checkpoint(body)
+            # prevent_cse=False: see update_positions (same rationale and
+            # the same miscompile trigger, BASELINE.md round 4)
+            body = jax.checkpoint(body, prevent_cse=False)
         if unroll == 1:
             # see update_positions_multiscale: explicit unroll forces the
             # scan lowering, whose remat transposition compiles pathologically

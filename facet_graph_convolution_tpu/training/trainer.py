@@ -858,6 +858,7 @@ def make_vertex_train_step(
     steps = cfg.model.coarsening_steps
     samples = cfg.train.chamfer_samples
     iter_nums = cfg.eval.ms_solver_iterations
+    solver_remat = cfg.eval.solver_remat
     variant = _config_variant(cfg)
     alpha = cfg.model.lrelu_alpha
 
@@ -888,6 +889,7 @@ def make_vertex_train_step(
             refined, _ = update_positions_multiscale_operator(
                 v_rot, [n0, n1, n2], faces, v_faces, solver_tables,
                 coarsening_steps=steps, iter_nums=iter_nums,
+                checkpoint=solver_remat,
             )
         else:
             refined, _ = update_positions_multiscale(

@@ -78,3 +78,41 @@ def test_rotate_inputs_eight_channels(rng):
     np.testing.assert_allclose(out[:, :3], x8[:, :3] @ r.T, atol=1e-5)
     np.testing.assert_allclose(out[:, 3:5], x8[:, 3:5], atol=1e-6)
     np.testing.assert_allclose(out[:, 5:], x8[:, 5:] @ r.T, atol=1e-5)
+
+
+def test_chamfer_grad_finite_at_coincident_points(rng):
+    """The chamfer backward must stay finite when a refined point lands
+    EXACTLY on a GT point: jnp.linalg.norm's gradient is diff/dist = 0/0
+    there, and the resulting NaN reaches every parameter through the
+    min-reduction's unselected branches (losses.py:_pairwise_dist)."""
+    from facet_graph_convolution_tpu.models.losses import full_chamfer_loss
+
+    p1 = jnp.asarray(rng.normal(size=(20, 3)).astype(np.float32))
+    p0 = p1.at[3].set(p1[7])  # p0[3] coincides exactly with p1[7]
+    p0 = p0 + 0.0
+    idx = jnp.arange(10)
+
+    def loss(p0):
+        return full_chamfer_loss(p0, p1, idx, idx)
+
+    g = jax.grad(loss)(p0)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_chamfer_threshold_is_nan_transparent():
+    """A NaN-poisoned prediction must surface as a NaN loss so driver
+    NaN-abort guards fire; the reference's where(dist <= thr, dist, 0)
+    maps NaN to 0.0 and training collapses silently
+    (losses.py:_threshold)."""
+    from facet_graph_convolution_tpu.models.losses import (
+        accuracy_loss,
+        full_chamfer_loss,
+        sampled_accuracy_loss,
+    )
+
+    p1 = jnp.asarray(np.random.default_rng(0).normal(size=(12, 3)).astype(np.float32))
+    p0 = jnp.full((12, 3), jnp.nan, dtype=jnp.float32)
+    idx = jnp.arange(6)
+    assert bool(jnp.isnan(full_chamfer_loss(p0, p1, idx, idx)))
+    assert bool(jnp.isnan(accuracy_loss(p0, p1, idx)))
+    assert bool(jnp.isnan(sampled_accuracy_loss(p0, p1)))
