@@ -47,6 +47,12 @@ from facet_graph_convolution_tpu.ops.pooling import (
 )
 from facet_graph_convolution_tpu.training.trainer import TrainState
 
+# Windowed levels run the FUSED slab conv (ops.windowed_conv) instead of the
+# gather-then-aggregate pipeline — measured HBM-traffic win at the
+# million-facet regime (BASELINE.md round 4). Module-level so A/B benches
+# and tests can flip it; env override for the tools.
+_WINDOWED_FUSED = os.environ.get("FGC_WINDOWED_FUSED", "1") != "0"
+
 
 # ---------------------------------------------------------------------------
 # Host-side partitioner
@@ -783,11 +789,27 @@ def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
     vx_t = proj @ x_t                                    # [M, n]
     ux_t = u @ x_t                                       # [M, n]
     cat_t = jnp.concatenate([x_t, vx_t], axis=0).astype(dtype)   # [C+M, n]
+    if win is not None and _WINDOWED_FUSED:
+        # fused HBM-scale conv (BASELINE.md round 4): the whole epilogue —
+        # gather, softmax assignment, multiplicity weighting, aggregation,
+        # MXU transform — runs inside the per-slab scan, so neither the
+        # [C+M, K', n] neighbour tensor nor q nor z ever round-trips HBM
+        # (the unfused dataflow was measured at HBM speed-of-light)
+        from facet_graph_convolution_tpu.ops.windowed_conv import (
+            make_windowed_fused_conv,
+        )
+
+        wf = jnp.transpose(w, (1, 0, 2)).reshape(out_ch, m * in_ch)
+        y_t = make_windowed_fused_conv(win)(
+            cat_t, ux_t, wf, c, mult_rows, *ops[5:12]).astype(jnp.float32)
+        gate = (jnp.sum(mult_rows, axis=0) > 0).astype(y_t.dtype)
+        return y_t + b[:, None] * gate[None, :]
     if win is not None:
-        # windowed HBM-scale gather (BASELINE.md round 3): the level is
-        # purely local, so the extended array IS cat_t; clamped contract —
-        # padding slots gather finite in-window garbage, provably zeroed by
-        # the mult_rows multiply on q below
+        # unfused windowed gather (BASELINE.md round 3; kept for A/B and as
+        # the rotinv-adjacent fallback): the level is purely local, so the
+        # extended array IS cat_t; clamped contract — padding slots gather
+        # finite in-window garbage, provably zeroed by the mult_rows
+        # multiply on q below
         nbr_g = make_windowed_lane_gather(win)(cat_t, *ops[5:12])
     else:
         cat_ext_t = _halo_extend_nminor(cat_t, send_idx, recv_mask, offsets,

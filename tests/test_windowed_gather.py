@@ -142,3 +142,62 @@ def test_windowed_sharded_step_matches_flat(monkeypatch):
     win_losses = run()
 
     np.testing.assert_allclose(flat_losses, win_losses, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_windowed_conv_matches_unfused():
+    """The fused slab conv (ops.windowed_conv) must match the unfused
+    windowed pipeline — gather, softmax assignment, multiplicity weighting,
+    f32-accumulated aggregation, MXU transform — in values AND in gradients
+    wrt activations and every parameter."""
+    from facet_graph_convolution_tpu.ops.windowed_conv import (
+        make_windowed_fused_conv,
+    )
+
+    n, k, band, block = 4096, 7, 96, 512
+    in_ch, m, out_ch = 5, 4, 6
+    adj = banded_klist(n, k, band, seed=5)
+    wt = windowed_lane_tables(adj, block=block, align=64)
+    assert wt is not None
+    wt_args = tuple(jnp.asarray(a) for a in wt.arrays)
+    rng = np.random.default_rng(7)
+
+    cat = jnp.asarray(rng.standard_normal((in_ch + m, n)).astype(np.float32))
+    ux = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    wf = jnp.asarray(rng.standard_normal((out_ch, m * in_ch)).astype(np.float32) * 0.1)
+    cb = jnp.asarray(rng.standard_normal((m,)).astype(np.float32) * 0.1)
+    # fused multiplicity x 1/deg rows: slot 0 = self (positive), 0 on padding
+    mult = np.where(adj.T > 0, rng.uniform(0.5, 2.0, size=(k, n)), 0.0)
+    mult_rows = jnp.asarray(
+        np.concatenate([np.full((1, n), 1.0), mult], axis=0).astype(np.float32))
+
+    gw = make_windowed_lane_gather(wt.geometry)
+    fused = make_windowed_fused_conv(wt.geometry)
+
+    def unfused(cat, ux, wf, cb):
+        nbr_g = gw(cat, *wt_args)
+        nbr = jnp.concatenate([cat[:, None, :], nbr_g], axis=1)
+        logits = ux[:, None, :] + nbr[in_ch:] + cb[:, None, None]
+        q = jax.nn.softmax(logits.astype(jnp.float32), axis=0) * mult_rows[None]
+        z = jnp.sum(q[:, None] * nbr[:in_ch][None], axis=2, dtype=jnp.float32)
+        return jnp.einsum("oz,zn->on", wf, z.reshape(m * in_ch, n),
+                          preferred_element_type=jnp.float32)
+
+    def fused_fn(cat, ux, wf, cb):
+        return fused(cat, ux, wf, cb, mult_rows, *wt_args)
+
+    y_ref = unfused(cat, ux, wf, cb)
+    y_fus = fused_fn(cat, ux, wf, cb)
+    np.testing.assert_allclose(np.asarray(y_fus), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(fn):
+        def f(cat, ux, wf, cb):
+            y = fn(cat, ux, wf, cb)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape) * 0.01))
+        return f
+
+    g_ref = jax.grad(loss(unfused), argnums=(0, 1, 2, 3))(cat, ux, wf, cb)
+    g_fus = jax.grad(loss(fused_fn), argnums=(0, 1, 2, 3))(cat, ux, wf, cb)
+    for a, b, name in zip(g_ref, g_fus, ("cat", "ux", "wf", "c")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-4, atol=3e-5, err_msg=name)
