@@ -123,6 +123,10 @@ def measure(steps=20, repeats=3, subdiv=5, bf16=True, lane=True):
         "nodes": info["nodes"],
         "median_step_s": median,
         "best_step_s": times[0],
+        # repeat spread over the cold dispatches: (max−min)/median — ladder
+        # steps claiming wins below this band are indistinguishable from run
+        # noise (BENCH artifacts span ~±2% across identical configs)
+        "spread_pct": 100.0 * (times[-1] - times[0]) / median,
         "edges_per_s": edges / median,
         "platform": jax.default_backend(),
         "device": str(jax.devices()[0]),
@@ -438,9 +442,13 @@ def main():
         if os.path.isfile(VERTEX_BASELINE_FILE):
             with open(VERTEX_BASELINE_FILE) as fh:
                 baseline = json.load(fh)
-        # speedup over the methodology-matched CPU run of the same program
+        # speedup over the methodology-matched CPU run of the same program —
+        # only meaningful at the same mesh scale (--vertex_subdiv changes
+        # `nodes`; comparing against a differently-sized baseline is not a
+        # speedup, report -1.0 instead)
         vs = (baseline["median_step_s"] / result["median_step_s"]
-              if baseline else -1.0)
+              if baseline and baseline.get("nodes") == result["nodes"]
+              else -1.0)
         print(json.dumps({
             "metric": "vertex_train_step_ms",
             "value": round(result["median_step_s"] * 1e3, 2),
@@ -514,6 +522,7 @@ def main():
         "value": round(result["edges_per_s"], 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 3),
+        "spread_pct": round(result["spread_pct"], 2),
     }))
 
 

@@ -143,7 +143,8 @@ class EvalConfig:
     # ops.vertex_update.update_positions_multiscale_operator) or "naive"
     # (per-slot body mirroring the reference's formulation).
     vertex_solver: str = "operator"
-    # Rematerialize the operator-solver loop body under grad. OFF by default:
+    # Rematerialize the multi-scale solver loop body (either implementation)
+    # under grad. OFF by default:
     # jax.checkpoint around the 120-iteration body triggers a deterministic
     # XLA miscompile (all-NaN grads from provably finite inputs) at
     # reference scale on BOTH backends — prevent_cse=False cures CPU but not

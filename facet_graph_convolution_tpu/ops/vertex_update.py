@@ -32,6 +32,7 @@ def update_positions_edges(
     iter_num: int = 60,
     lmbd: float = 1.0 / 18.0,
     checkpoint: bool = True,
+    adaptive_tol: float = 0.0,
 ) -> jnp.ndarray:
     """Taubin linear anisotropic vertex filtering.
 
@@ -48,6 +49,20 @@ def update_positions_edges(
     (train.py:1510,1534-1536); since
     ``Σ_{a,b} n_b⟨n_b, e_a⟩ = Σ_b n_b⟨n_b, e_1+e_2⟩`` we fold the endpoint
     sum first — identical math, half the FLOPs.
+
+    ``adaptive_tol > 0`` replaces the reference's FIXED 60-iteration
+    schedule (train.py:130) with a residual-plateau stop under the same
+    ``iter_num`` budget: iterate while the constraint residual
+    ``r = Σ ⟨n_f, e₁+e₂⟩²`` still improves by more than ``adaptive_tol``
+    per iteration (relative to its current level). The predicted normals
+    are never perfectly consistent, so r converges to a positive floor;
+    on a nearly-clean input r starts AT that floor and the loop exits
+    after ~1 iteration instead of drifting the vertices tangentially for
+    60 (the round-4 caveat: refined WORSE than noisy in Hausdorff at
+    noise 0.1 on CAD shapes), while a noisy input keeps the full
+    productive schedule. Inference-only (``lax.while_loop`` is not
+    reverse-mode differentiable); the training paths keep the fixed
+    schedule the loss was trained through.
     """
     # one-index edges; prepend zero line so pad slots (-1 → 0) are inert
     v_edges1 = v_edges.astype(jnp.int32) + 1
@@ -60,13 +75,33 @@ def update_positions_edges(
     f_idx = n_edges[..., 2:4]                           # [V, maxE, 2] one-indexed
     n_f = jnp.take(fn_pad, f_idx, axis=0)               # [V, maxE, 2, 3]
 
-    def body(_, x):
+    def step(x):
         xv = jnp.take(x, v_pair_idx, axis=0)            # [V, maxE, 2, 3]
         e_vec = xv - x[:, None, None, :]
         s = jnp.sum(e_vec, axis=2)                      # [V, maxE, 3]
         proj = dot_last(n_f, s[:, :, None, :])          # [V, maxE, 2]
         update = jnp.sum(n_f * proj[..., None], axis=(1, 2))
-        return x + lmbd * update
+        return x + lmbd * update, jnp.sum(jnp.square(proj))
+
+    if adaptive_tol > 0.0:
+        big = jnp.asarray(1e30, x.dtype)
+
+        def cond(carry):
+            _, r_pp, r_p, i = carry
+            return jnp.logical_and(
+                i < iter_num, (r_pp - r_p) > adaptive_tol * r_p)
+
+        def w_body(carry):
+            x, _, r_p, i = carry
+            x_new, r = step(x)
+            return x_new, r_p, r, i + 1
+
+        x, _, _, _ = jax.lax.while_loop(
+            cond, w_body, (x, big, big * 0.09, jnp.asarray(0, jnp.int32)))
+        return x
+
+    def body(_, x):
+        return step(x)[0]
 
     if checkpoint:
         # prevent_cse=False: the body runs under fori_loop (a while/scan
@@ -205,25 +240,102 @@ def update_positions_multiscale(
     return x, dx_list
 
 
+def _face_center_tables(faces, num_faces_per_level, num_vertices,
+                        coarsening_steps):
+    """Per-scale level-s-face → vertex incidence tables computing the
+    face-center dot products directly from the moving vertices:
+    ``c_s = A_s · x`` — the static linear operator equal to
+    :func:`face_centers_pyramid`'s gather + iterated
+    ``avg_ignore_zeros`` pool chain.
+
+    The pool is ITERATED PAIRWISE (ops.pooling): at each of the
+    ``levels·steps`` stages an all-zero sibling (a fake subtree — its
+    centroid is exactly the zero row) is replaced by its partner before the
+    /2 mean. The equivalent static weight of fine face f0 inside its scale-s
+    ancestor is therefore ``Π over stages (1/2 if the sibling subtree has a
+    real face else 1)``, 0 for fake faces — a structural restatement of the
+    value test (a REAL face whose centroid lands on exact float zero would
+    differ, a measure-zero event the moving-vertex iteration makes
+    transient anyway). Each fine face then spreads its weight as w/3 onto
+    its ≤3 valid vertices (−1 pads contribute the zero row in the
+    reference, i.e. nothing), and duplicate (coarse face, vertex) pairs
+    merge by summing — at scale 2 the 48 raw slots dedupe to ~20.
+
+    Returns per-scale ``(fadjT [K_s, F_s], fadjT_t [S, V], fwT [K_s, F_s])``
+    (one-indexed lane tables over the vertex axis + weights).
+    """
+    import numpy as np
+    import scipy.sparse as sp
+
+    from facet_graph_convolution_tpu.graph.convert import lane_tables
+
+    faces = np.asarray(faces)
+    f0 = faces.shape[0]
+    nz = faces[:, 0] >= 0                    # fake faces are all −1
+    w = nz.astype(np.float64)
+    per_scale = []
+    sub = 1                                  # fine faces per current node
+    for s, f_s in enumerate(num_faces_per_level):
+        if s > 0:
+            for _ in range(coarsening_steps):
+                nzp = nz.reshape(-1, 2)
+                both = nzp[:, 0] & nzp[:, 1]
+                w = w * np.repeat(np.where(both, 0.5, 1.0), 2 * sub)
+                nz = nzp[:, 0] | nzp[:, 1]
+                sub *= 2
+        group = sub                          # = (2^steps)^s
+        cf = np.repeat(np.arange(f0, dtype=np.int64) // group, 3)
+        vid = faces.ravel().astype(np.int64)
+        wgt = np.repeat(w / 3.0, 3)
+        keep = (vid >= 0) & (wgt > 0)
+        mat = sp.coo_matrix(
+            (wgt[keep], (cf[keep], vid[keep])),
+            shape=(int(f_s), int(num_vertices)),
+        ).tocsr()
+        mat.sum_duplicates()
+        counts = np.diff(mat.indptr)
+        k_s = max(int(counts.max()) if counts.size else 0, 1)
+        adj = np.zeros((int(f_s), k_s), np.int32)
+        wt = np.zeros((int(f_s), k_s), np.float32)
+        rows = np.repeat(np.arange(int(f_s)), counts)
+        cols = np.concatenate([np.arange(c) for c in counts]) if counts.size \
+            else np.zeros((0,), np.int64)
+        adj[rows, cols] = mat.indices + 1    # one-indexed
+        wt[rows, cols] = mat.data
+        fadjT, fadjT_t = lane_tables(adj, num_sources=int(num_vertices))
+        per_scale.append((
+            jnp.asarray(fadjT),
+            jnp.asarray(fadjT_t),
+            jnp.asarray(np.ascontiguousarray(wt.T)),
+        ))
+    return per_scale
+
+
 def build_solver_tables(
     v_faces,
     num_faces_per_level: Sequence[int],
     num_vertices: int,
     coarsening_steps: int = 2,
+    faces=None,
 ):
     """Host-side static tables for :func:`update_positions_multiscale_operator`.
 
     Per scale s: the vertex→level-s-face incidence DEDUPED (each of a
     vertex's 25 fine-face slots maps to a level-s node by integer division;
     at the coarsest scale the 25 slots collapse to ~2-4 distinct nodes) plus
-    lane gather tables for scatter-free backwards, and the face→vertex lane
-    tables for the per-iteration centroid computation. Everything here is a
-    pure function of the (static) mesh structure — built once per patch, then
-    threaded through the jitted step as arguments.
+    lane gather tables for scatter-free backwards. When ``faces`` is given,
+    each per-scale tuple additionally carries the face→vertex incidence
+    tables of :func:`_face_center_tables`, letting the solver compute the
+    per-face center dot products as a single static gather ``A_s·x`` instead
+    of rebuilding the whole center pyramid (gather + pad + pool chain) every
+    iteration — the ~16 ms/58 ms block of the round-4 vertex profile.
+    Everything here is a pure function of the (static) mesh structure —
+    built once per patch, then threaded through the jitted step as
+    arguments.
 
-    Returns a tuple pytree of jnp arrays:
-    ``(per_scale, faces_adjT, faces_adjT_t)`` with ``per_scale[s] =
-    (adjT [K_u, V], adjT_t [S, F_s], multT [K_u, V])``.
+    Returns a tuple pytree of jnp arrays: ``per_scale[s] =
+    (adjT [K_u, V], adjT_t [S, F_s], multT [K_u, V][, fadjT, fadjT_t,
+    fwT])``.
     """
     import numpy as np
 
@@ -235,6 +347,9 @@ def build_solver_tables(
     v_faces = np.asarray(v_faces)
     per_scale = []
     group = 2 ** coarsening_steps
+    fc = (_face_center_tables(faces, num_faces_per_level, num_vertices,
+                              coarsening_steps)
+          if faces is not None else None)
     for s, f_s in enumerate(num_faces_per_level):
         # floor division keeps −1 pads negative → 0 after the +1 one-index
         vf1 = np.where(v_faces < 0, 0, (v_faces // group ** s) + 1)
@@ -244,7 +359,7 @@ def build_solver_tables(
             jnp.asarray(adjT),
             jnp.asarray(adjT_t),
             jnp.asarray(np.ascontiguousarray(mult.T)),
-        ))
+        ) + (fc[s] if fc is not None else ()))
     return tuple(per_scale)
 
 
@@ -290,20 +405,39 @@ def update_positions_multiscale_operator(
     dx_list: List[jnp.ndarray] = []
     for s in range(levels):
         cur_scale = levels - 1 - s
-        adjT, adjT_t, multT = tables[cur_scale]
+        tab = tables[cur_scale]
+        adjT, adjT_t, multT = tab[:3]
+        fc_tab = tab[3:6] if len(tab) >= 6 else None
         fn = face_normals_list[cur_scale].reshape(-1, 3)
         fn_t = fn.T                                      # [3, F_s]
         # loop-invariant: per-slot normals (zero column for pad slots) and
         # the per-vertex projector P (n nᵀ summed with multiplicities)
         n_vu = gather_neighbors_lane(fn_t, adjT, adjT_t)     # [3, K_u, V]
         p_t = jnp.einsum("akv,bkv,kv->abv", n_vu, n_vu, multT)   # [3, 3, V]
+        if fc_tab is not None:
+            # fold the normals into the center operator ONCE: t = Σ_a
+            # fn[a,f] · Σ_k w[k,f] x[a, idx[k,f]] = Σ_k (w·fn[a])ᵀ-weighted
+            # gather — the per-slot weight nw = w[k,f]·fn[a,f] is
+            # loop-invariant, so each iteration is one lane gather + one
+            # weighted reduce (no pad concat, no [F,3,3] gather, no pool
+            # chain — those were the largest block of the round-4 profile)
+            fadjT, fadjT_t, fwT = fc_tab
+            nw = fwT[None] * fn_t[:, None, :]            # [3, K_s, F_s]
+        else:
+            nw = None
         x_init_t = x_t
 
         def body(_, x_t, adjT=adjT, adjT_t=adjT_t, multT=multT,
-                 n_vu=n_vu, p_t=p_t, fn=fn, cur_scale=cur_scale):
-            fpos = face_centers_pyramid(
-                x_t.T, faces, coarsening_steps, levels)[cur_scale]
-            t = jnp.sum(fn * fpos, axis=-1)              # [F_s]
+                 n_vu=n_vu, p_t=p_t, fn=fn, cur_scale=cur_scale,
+                 fc_tab=fc_tab, nw=nw):
+            if fc_tab is not None:
+                fadjT_, fadjT_t_, _ = fc_tab
+                g = gather_neighbors_lane(x_t, fadjT_, fadjT_t_)  # [3,K_s,F_s]
+                t = jnp.sum(nw * g, axis=(0, 1))         # [F_s]
+            else:
+                fpos = face_centers_pyramid(
+                    x_t.T, faces, coarsening_steps, levels)[cur_scale]
+                t = jnp.sum(fn * fpos, axis=-1)          # [F_s]
             t_vu = gather_neighbors_lane(t[None], adjT, adjT_t)[0]  # [K_u, V]
             term1 = jnp.sum((multT * t_vu)[None] * n_vu, axis=1)    # [3, V]
             px = jnp.einsum("abv,bv->av", p_t, x_t)

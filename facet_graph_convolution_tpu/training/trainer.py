@@ -833,6 +833,7 @@ def _solver_tables(cfg: Config, p: FacetPatch):
         [a.shape[0] for a in p.adjs],
         p.vertices.shape[0],
         coarsening_steps=cfg.model.coarsening_steps,
+        faces=p.faces,
     )
 
 
@@ -895,6 +896,7 @@ def make_vertex_train_step(
             refined, _ = update_positions_multiscale(
                 v_rot, [n0, n1, n2], faces, v_faces,
                 coarsening_steps=steps, iter_nums=iter_nums,
+                checkpoint=solver_remat,
             )
         loss = full_chamfer_loss(refined, gtv_rot, idx0, idx1)
         if normals_weight > 0 and gt_normals is not None:

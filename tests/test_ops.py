@@ -304,10 +304,15 @@ def test_update_positions_multiscale_runs_and_improves(cube, rng):
     assert planarity(out) < planarity(noisy)
 
 
-def test_update_positions_multiscale_operator_parity(cube, rng):
+@pytest.mark.parametrize("face_tables", [False, True])
+def test_update_positions_multiscale_operator_parity(cube, rng, face_tables):
     """The linear-operator (deduped, scatter-free) solver reproduces the
     naive per-slot body to fp tolerance — values AND gradients through both
-    x and the normals."""
+    x and the normals. ``face_tables=True`` additionally swaps the
+    per-iteration center-pyramid recomputation for the static A_s·x
+    incidence tables (round-5 follow-up) — same oracle, same bar, and the
+    fake-face group (faces 12-15 → a fake mid node) exercises the
+    structural avg_ignore_zeros weight nesting."""
     import jax
 
     from facet_graph_convolution_tpu.ops.vertex_update import (
@@ -326,7 +331,8 @@ def test_update_positions_multiscale_operator_parity(cube, rng):
     v_f = vertex_faces(faces16, k_v=25, vnum=8)
     noisy = (v + rng.normal(scale=0.05, size=v.shape)).astype(np.float32)
     normals = [jnp.asarray(n_padded), jnp.asarray(n_mid), jnp.asarray(n_coarse)]
-    tables = build_solver_tables(v_f, [16, 4, 1], 8, coarsening_steps=2)
+    tables = build_solver_tables(v_f, [16, 4, 1], 8, coarsening_steps=2,
+                                 faces=faces16 if face_tables else None)
 
     def run_ref(x, ns):
         out, dx = update_positions_multiscale(

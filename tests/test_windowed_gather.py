@@ -89,9 +89,13 @@ def test_window_geometry_covers_all_valid_entries():
             (wt.relT[b] + ws)[wt.validF[b]], sub[va])
 
 
-def test_windowed_sharded_step_matches_flat(monkeypatch):
+@pytest.mark.parametrize("fused", [True, False])
+def test_windowed_sharded_step_matches_flat(monkeypatch, fused):
     """D=1 sharded train step with the windowed gather forced on must match
-    the flat-gather step loss-for-loss over several optimizer steps."""
+    the flat-gather step loss-for-loss over several optimizer steps — for
+    BOTH the fused slab conv (the default) and the unfused windowed fallback
+    (kept for A/B and as the rotinv-adjacent path; without this case the
+    FGC_WINDOWED_FUSED=0 branch would have no coverage at all)."""
     import optax  # noqa: F401
     from facet_graph_convolution_tpu.config import default_config
     from facet_graph_convolution_tpu.data.dataset import (
@@ -135,6 +139,7 @@ def test_windowed_sharded_step_matches_flat(monkeypatch):
 
     # force windowing on (fine level is 1552 nodes -> 13 slabs incl. the
     # overlap tail; the 97-node coarsest level stays flat)
+    monkeypatch.setattr(halo, "_WINDOWED_FUSED", fused)
     monkeypatch.setattr(halo, "WINDOWED_MIN_NODES", 64)
     monkeypatch.setattr(halo, "WINDOWED_BLOCK", 128)
     windows = halo.build_level_windows(part)
@@ -144,15 +149,19 @@ def test_windowed_sharded_step_matches_flat(monkeypatch):
     np.testing.assert_allclose(flat_losses, win_losses, rtol=1e-5, atol=1e-6)
 
 
-def test_fused_windowed_conv_matches_unfused():
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_fused_windowed_conv_matches_unfused(dtype):
     """The fused slab conv (ops.windowed_conv) must match the unfused
     windowed pipeline — gather, softmax assignment, multiplicity weighting,
     f32-accumulated aggregation, MXU transform — in values AND in gradients
-    wrt activations and every parameter."""
+    wrt activations and every parameter. The bf16 case runs the production
+    compute dtype (the million-facet path is bf16) with the unfused side
+    applying the exact casts of parallel.halo._sharded_conv_nminor."""
     from facet_graph_convolution_tpu.ops.windowed_conv import (
         make_windowed_fused_conv,
     )
 
+    dt = jnp.dtype(dtype)
     n, k, band, block = 4096, 7, 96, 512
     in_ch, m, out_ch = 5, 4, 6
     adj = banded_klist(n, k, band, seed=5)
@@ -161,7 +170,8 @@ def test_fused_windowed_conv_matches_unfused():
     wt_args = tuple(jnp.asarray(a) for a in wt.arrays)
     rng = np.random.default_rng(7)
 
-    cat = jnp.asarray(rng.standard_normal((in_ch + m, n)).astype(np.float32))
+    cat = jnp.asarray(
+        rng.standard_normal((in_ch + m, n)).astype(np.float32)).astype(dt)
     ux = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
     wf = jnp.asarray(rng.standard_normal((out_ch, m * in_ch)).astype(np.float32) * 0.1)
     cb = jnp.asarray(rng.standard_normal((m,)).astype(np.float32) * 0.1)
@@ -174,21 +184,33 @@ def test_fused_windowed_conv_matches_unfused():
     fused = make_windowed_fused_conv(wt.geometry)
 
     def unfused(cat, ux, wf, cb):
+        # mirrors the win-branch of _sharded_conv_nminor cast-for-cast
         nbr_g = gw(cat, *wt_args)
         nbr = jnp.concatenate([cat[:, None, :], nbr_g], axis=1)
-        logits = ux[:, None, :] + nbr[in_ch:] + cb[:, None, None]
-        q = jax.nn.softmax(logits.astype(jnp.float32), axis=0) * mult_rows[None]
-        z = jnp.sum(q[:, None] * nbr[:in_ch][None], axis=2, dtype=jnp.float32)
-        return jnp.einsum("oz,zn->on", wf, z.reshape(m * in_ch, n),
+        logits = (ux[:, None, :].astype(dt) + nbr[in_ch:]
+                  + cb[:, None, None].astype(dt))
+        q = (jax.nn.softmax(logits.astype(jnp.float32), axis=0)
+             * mult_rows[None]).astype(dt)
+        z = jnp.sum(q[:, None].astype(jnp.float32)
+                    * nbr[:in_ch][None].astype(jnp.float32),
+                    axis=2, dtype=jnp.float32)
+        z_dt = z.reshape(m * in_ch, n).astype(dt)
+        return jnp.einsum("oz,zn->on", wf.astype(dt), z_dt,
                           preferred_element_type=jnp.float32)
 
     def fused_fn(cat, ux, wf, cb):
         return fused(cat, ux, wf, cb, mult_rows, *wt_args)
 
+    # bf16 rounding is deterministic and both sides share the dataflow, so
+    # the bf16 tolerances only need to absorb reassociation across slabs
+    tol_v = dict(rtol=2e-5, atol=2e-5) if dt == jnp.float32 else \
+        dict(rtol=2e-2, atol=2e-2)
+    tol_g = dict(rtol=3e-4, atol=3e-5) if dt == jnp.float32 else \
+        dict(rtol=5e-2, atol=5e-2)
+
     y_ref = unfused(cat, ux, wf, cb)
     y_fus = fused_fn(cat, ux, wf, cb)
-    np.testing.assert_allclose(np.asarray(y_fus), np.asarray(y_ref),
-                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_fus), np.asarray(y_ref), **tol_v)
 
     def loss(fn):
         def f(cat, ux, wf, cb):
@@ -199,5 +221,6 @@ def test_fused_windowed_conv_matches_unfused():
     g_ref = jax.grad(loss(unfused), argnums=(0, 1, 2, 3))(cat, ux, wf, cb)
     g_fus = jax.grad(loss(fused_fn), argnums=(0, 1, 2, 3))(cat, ux, wf, cb)
     for a, b, name in zip(g_ref, g_fus, ("cat", "ux", "wf", "c")):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   rtol=3e-4, atol=3e-5, err_msg=name)
+        np.testing.assert_allclose(np.asarray(b).astype(np.float32),
+                                   np.asarray(a).astype(np.float32),
+                                   err_msg=name, **tol_g)

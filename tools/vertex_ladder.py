@@ -77,6 +77,24 @@ def _patch_unroll(n):
     _install(functools.partial(vu.update_positions_multiscale, unroll=n))
 
 
+def _patch_no_face_tables():
+    """Round-4 operator body: solver tables WITHOUT the per-scale
+    face→vertex incidence (A_s·x) pack, so the body recomputes the center
+    pyramid per iteration — the A/B partner of the round-5 default."""
+    from facet_graph_convolution_tpu.ops.vertex_update import (
+        build_solver_tables,
+    )
+    from facet_graph_convolution_tpu.training import trainer
+
+    def tables(cfg, p):
+        return build_solver_tables(
+            p.v_faces, [a.shape[0] for a in p.adjs], p.vertices.shape[0],
+            coarsening_steps=cfg.model.coarsening_steps,
+        )
+
+    trainer._solver_tables = tables
+
+
 def _install(solver):
     """Point every consumer of the multiscale solver at ``solver``."""
     from facet_graph_convolution_tpu.ops import vertex_update as vu
@@ -90,17 +108,20 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="current",
                    choices=("current", "naive", "vector_gather", "unroll4",
-                            "operator"))
+                            "operator", "operator_pyramid"))
     p.add_argument("--subdiv", type=int, default=4)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
 
-    solver = "operator" if args.mode == "operator" else "naive"
+    solver = ("operator" if args.mode in ("operator", "operator_pyramid")
+              else "naive")
     if args.mode == "vector_gather":
         _patch_vector_gather()
     elif args.mode == "unroll4":
         _patch_unroll(4)
+    elif args.mode == "operator_pyramid":
+        _patch_no_face_tables()
 
     import bench
 
