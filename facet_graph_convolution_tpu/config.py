@@ -135,6 +135,18 @@ class EvalConfig:
     overwrite_results: bool = False     # B_OVERWRITE_RESULT (settings.py:36)
     heatmap_max_angle: float = 30.0     # settings.py:39
     solver_iterations: int = 60         # update_position2 iters (train.py:130)
+    # Edge-map solver schedule/step at inference (round-5; reference
+    # train.py:130 runs a FIXED 60 iterations at a GLOBAL λ=1/18):
+    # - solver_adaptive_tol > 0 stops at the residual plateau under the
+    #   solver_iterations budget, curing the low-noise over-integration
+    #   (refined worse than noisy in Hausdorff — BASELINE.md round 4);
+    # - solver_lambda "degree" uses the per-vertex 1/(3·deg) step the
+    #   reference's 1/18 implicitly assumes at valence 6 — the global step
+    #   DIVERGES on high-valence vertices (measured: residual ×1e6-1e13
+    #   over 60 iterations on cylinder-on-plate). "reference" restores the
+    #   exact reference behavior.
+    solver_adaptive_tol: float = 0.01
+    solver_lambda: str = "degree"
     # multi-scale solver schedule, coarse→fine is reversed internally
     # (train.py:248 uses [80, 20, 20]).
     ms_solver_iterations: tuple = (80, 20, 20)

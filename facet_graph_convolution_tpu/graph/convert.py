@@ -295,11 +295,22 @@ class WindowedLaneTables:
     - backward: ``dx[c, out_starts[b] + j] = Σ_s
       g[c].reshape(K·N)[… bwd window …][relS[b, s, j]] · validS[b, s, j]``
       with ``relS`` flat over ``k·bwd_window + (n − bwd_starts[b])``.
+
+    Halo-extended sources (D > 1 shards; ``num_sources > num_out``): the
+    owned columns 0..N−1 are RCM-banded, the H halo columns live at the
+    array TAIL, outside any band. Slots pointing at the tail carry a
+    separate pack: ``not_tail`` zeroes their in-window clamped garbage,
+    ``tailT`` (one-indexed into the tail, 0 elsewhere) gathers them from
+    the small [C, H] tail block, and the backward adds a flat transpose
+    gather ``tailS``/``tailV`` [S, H] over the k·N + n cotangent slots —
+    the tail is ~halo-fraction-sized, so both extras are cheap. With
+    ``num_sources == num_out`` (D == 1) the pack is absent and the tables
+    are bit-identical to the pre-round-5 form.
     """
 
     def __init__(self, block, window, bwd_window, out_starts, win_starts,
                  relT, validF, bwd_starts, relS, validS, num_sources,
-                 num_out):
+                 num_out, not_tail=None, tailT=None, tailS=None, tailV=None):
         self.block = int(block)
         self.window = int(window)
         self.bwd_window = int(bwd_window)
@@ -312,12 +323,23 @@ class WindowedLaneTables:
         self.validS = validS
         self.num_sources = int(num_sources)
         self.num_out = int(num_out)
+        self.not_tail = not_tail
+        self.tailT = tailT
+        self.tailS = tailS
+        self.tailV = tailV
+
+    @property
+    def has_tail(self):
+        return self.num_sources > self.num_out
 
     @property
     def arrays(self):
         """The device-operand pack (jit arguments, in a fixed order)."""
-        return (self.out_starts, self.win_starts, self.relT, self.validF,
+        base = (self.out_starts, self.win_starts, self.relT, self.validF,
                 self.bwd_starts, self.relS, self.validS)
+        if self.has_tail:
+            return base + (self.not_tail, self.tailT, self.tailS, self.tailV)
+        return base
 
     @property
     def geometry(self):
@@ -338,33 +360,51 @@ def windowed_lane_tables(
     max_window_ratio: float = 8.0,
     window: Optional[int] = None,
     bwd_window: Optional[int] = None,
+    tables: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Optional[WindowedLaneTables]:
     """Build :class:`WindowedLaneTables` from the neighbours-only one-indexed
     K-list ``adj_nbr`` [N, K].
 
-    Returns ``None`` when windowing cannot help: fewer than two blocks, a
-    halo-extended source (``num_sources != N`` — halo columns sit at the
-    array tail, outside any local band), or no index locality (a window
-    exceeding ``max_window_ratio × block``, e.g. a pyramid built without
+    ``num_sources > N`` builds the halo-tail pack (sharded levels, D > 1):
+    entries ≤ N ride the banded windows, entries > N gather from the [C, H]
+    extended-array tail. Pass ``tables`` = precomputed one-indexed
+    ``(adjT [K, N], adjT_t [S, ext])`` (e.g. a LevelPartition's
+    ``lane_adj[d]``/``lane_adj_t[d]``) to reuse the partition's uniform
+    slot widths instead of re-deriving them per shard.
+
+    Returns ``None`` when windowing cannot help: fewer than two blocks, or
+    no index locality among the OWNED entries (a window exceeding
+    ``max_window_ratio × block``, e.g. a pyramid built without
     ``reorder="rcm"``) — callers then fall back to the flat lane gather.
     """
-    n, _ = adj_nbr.shape
+    if tables is not None:
+        adjT, adjT_t = tables
+        n = adjT.shape[1]
+    else:
+        n = adj_nbr.shape[0]
     nsrc = n if num_sources is None else num_sources
-    if n < 2 * block or nsrc != n:
+    if n < 2 * block or nsrc < n:
         return None
-    adjT0, validF, idxT, validT = lane_tables_pre(adj_nbr, num_sources)
+    if tables is not None:
+        adjT0 = np.maximum(adjT - 1, 0).astype(np.int32)
+        validF = adjT > 0
+        idxT = np.maximum(adjT_t - 1, 0).astype(np.int32)
+        validT = adjT_t > 0
+    else:
+        adjT0, validF, idxT, validT = lane_tables_pre(adj_nbr, num_sources)
     k, _ = adjT0.shape
     # the backward's flat slot space (k·N + n) is int32-indexed, same cap as
     # the flat lane tables — guard it here too rather than overflow silently
     assert k * n < 2**31, (k, n)
     s = idxT.shape[0]
+    owned = validF & (adjT0 < n)                 # in-band (non-tail) entries
 
     out_starts = np.arange(0, n - block + 1, block, dtype=np.int32)
     if int(out_starts[-1]) != n - block:
         out_starts = np.append(out_starts, np.int32(n - block))
     nblk = out_starts.shape[0]
 
-    # forward geometry: per-slab min/max over VALID neighbour indices
+    # forward geometry: per-slab min/max over VALID OWNED neighbour indices
     def spans(idx2d, valid2d):
         lo = np.full(nblk, 0, np.int64)
         hi = np.full(nblk, 0, np.int64)
@@ -376,21 +416,23 @@ def windowed_lane_tables(
                 lo[b], hi[b] = int(vals.min()), int(vals.max())
         return lo, hi
 
-    f_lo, f_hi = spans(adjT0, validF)
-    needed = min(_round_up(int((f_hi - f_lo).max()) + 1, align), nsrc)
+    f_lo, f_hi = spans(adjT0, owned)
+    needed = min(_round_up(int((f_hi - f_lo).max()) + 1, align), n)
     if needed > max_window_ratio * block:
         return None
     # ``window``/``bwd_window`` force a LARGER span than this mesh needs —
     # multi-mesh compile reuse pins the static geometry to the max across
     # meshes (parallel.halo.unify_level_windows); any window ≥ needed is
     # correct (win_starts clipping keeps every neighbour in range)
-    window = min(max(needed, window or 0), nsrc)
-    win_starts = np.clip(f_lo, 0, nsrc - window).astype(np.int32)
+    window = min(max(needed, window or 0), n)
+    win_starts = np.clip(f_lo, 0, n - window).astype(np.int32)
 
-    # backward geometry over the n component of the flat k·N + n slots
+    # backward geometry over the n component of the flat k·N + n slots,
+    # restricted to the OWNED source columns (the tail's slots ride the
+    # separate flat transpose pack below)
     k_arr = (idxT // n).astype(np.int64)
     n_arr = (idxT % n).astype(np.int64)
-    b_lo, b_hi = spans(n_arr, validT)
+    b_lo, b_hi = spans(n_arr[:, :n], validT[:, :n])
     bwd_needed = min(_round_up(int((b_hi - b_lo).max()) + 1, align), n)
     if bwd_needed > max_window_ratio * block:
         return None
@@ -404,15 +446,31 @@ def windowed_lane_tables(
     for b, st in enumerate(out_starts):
         cols = slice(int(st), int(st) + block)
         relT[b] = np.clip(adjT0[:, cols] - win_starts[b], 0, window - 1)
-        vF[b] = validF[:, cols]
+        vF[b] = owned[:, cols]
         flat = k_arr[:, cols] * bwd_window + (n_arr[:, cols] - bwd_starts[b])
         relS[b] = np.clip(flat, 0, k * bwd_window - 1)
         vS[b] = validT[:, cols]
+    kw = {}
+    if nsrc > n:
+        # tail pack: forward masks + one-indexed tail gather table, and the
+        # flat transpose slots of the tail sources for the backward
+        not_tail = np.empty((nblk, k, block), bool)
+        tailT = np.empty((nblk, k, block), np.int32)
+        tail_idx = np.where(owned | ~validF, 0, adjT0 - n + 1)   # one-indexed
+        for b, st in enumerate(out_starts):
+            cols = slice(int(st), int(st) + block)
+            not_tail[b] = owned[:, cols] | ~validF[:, cols]
+            tailT[b] = tail_idx[:, cols]
+        kw = dict(
+            not_tail=not_tail, tailT=tailT,
+            tailS=np.ascontiguousarray(idxT[:, n:]),
+            tailV=np.ascontiguousarray(validT[:, n:]),
+        )
     return WindowedLaneTables(
         block=block, window=window, bwd_window=bwd_window,
         out_starts=out_starts, win_starts=win_starts, relT=relT, validF=vF,
         bwd_starts=bwd_starts, relS=relS, validS=vS,
-        num_sources=nsrc, num_out=n,
+        num_sources=nsrc, num_out=n, **kw,
     )
 
 

@@ -101,7 +101,10 @@ def infer_normals(
         jnp.asarray(mesh.edge_map),
         jnp.asarray(mesh.v_e_map),
         iter_num=iters,
+        lmbd=(1.0 / 18.0 if cfg.eval.solver_lambda == "reference"
+              else cfg.eval.solver_lambda),
         checkpoint=False,
+        adaptive_tol=cfg.eval.solver_adaptive_tol,
     )
     return np.asarray(refined), predicted
 

@@ -86,6 +86,9 @@ def infer_normals_sharded(
         device_mesh,
         axis=axis,
         iter_num=iters,
+        lmbd=(1.0 / 18.0 if cfg.eval.solver_lambda == "reference"
+              else cfg.eval.solver_lambda),
+        adaptive_tol=cfg.eval.solver_adaptive_tol,
     )
     return refined, normals
 

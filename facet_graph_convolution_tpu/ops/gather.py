@@ -212,17 +212,45 @@ def make_windowed_lane_gather(geometry):
     predecessor (tables clamp its start to ``N − block``); both compute
     identical values for the overlap columns from the same global tables,
     so the double write is benign in both directions.
+
+    Halo-extended sources (``num_sources > num_out``, the D > 1 sharded
+    levels): ``x_t`` is the halo-extended [C, N + H] array, the table pack
+    carries 4 extra arrays (WindowedLaneTables tail pack), slots pointing
+    at tail columns are masked out of the windowed take and added back
+    from a flat take on the small [C, H] tail, and the backward emits the
+    full [C, N + H] cotangent (tail part via the flat tailS transpose
+    gather) so the halo exchange's autodiff routes boundary cotangents
+    home. Tail slots come out EXACT (not clamped-garbage): the pack's mask
+    multiply already zeroes in-window garbage for them.
     """
     block, window, bwd_window, num_sources, num_out = map(int, geometry)
+    has_tail = num_sources > num_out
+    tail_n = num_sources - num_out
 
     @jax.custom_vjp
-    def gather_win(x_t, out_starts, win_starts, relT, validF,
-                   bwd_starts, relS, validS):
+    def gather_win(x_t, *tabs):
         c = x_t.shape[0]
+        relT = tabs[2]
         k = relT.shape[1]
+        out_starts, win_starts = tabs[0], tabs[1]
         # + x_t[0,0]*0: inherit x_t's shard_map varying-axis type (a plain
         # zeros carry is 'unvarying' and scan rejects the mixed carry)
         buf = jnp.zeros((c, k, num_out), x_t.dtype) + x_t[0, 0] * 0
+        if has_tail:
+            not_tail, tailT = tabs[7], tabs[8]
+            tail_pad = jnp.concatenate(
+                [jnp.zeros_like(x_t[:, :1]), x_t[:, num_out:]], axis=1)
+
+            def blk(buf, xs):
+                os_, ws, r, nt, tt = xs
+                win = jax.lax.dynamic_slice(x_t, (0, ws), (c, window))
+                g = jnp.take(win, r, axis=1) * nt.astype(x_t.dtype)
+                g = g + jnp.take(tail_pad, tt, axis=1)   # [C, K, block]
+                return jax.lax.dynamic_update_slice(buf, g, (0, 0, os_)), None
+
+            buf, _ = jax.lax.scan(
+                blk, buf, (out_starts, win_starts, relT, not_tail, tailT))
+            return buf
 
         def blk(buf, xs):
             os_, ws, r = xs
@@ -233,14 +261,15 @@ def make_windowed_lane_gather(geometry):
         buf, _ = jax.lax.scan(blk, buf, (out_starts, win_starts, relT))
         return buf
 
-    def _fwd(x_t, out_starts, win_starts, relT, validF,
-             bwd_starts, relS, validS):
-        out = gather_win(x_t, out_starts, win_starts, relT, validF,
-                         bwd_starts, relS, validS)
-        return out, (out_starts, bwd_starts, relS, validS)
+    def _fwd(x_t, *tabs):
+        out = gather_win(x_t, *tabs)
+        res = (tabs[0], tabs[4], tabs[5], tabs[6])
+        if has_tail:
+            res = res + (tabs[9], tabs[10])
+        return out, res
 
     def _bwd(res, g):
-        out_starts, bwd_starts, relS, validS = res
+        out_starts, bwd_starts, relS, validS = res[:4]
         c = g.shape[0]
         k = g.shape[1]
         dx = jnp.zeros((c, num_out), g.dtype) + g[0, 0, 0] * 0
@@ -254,7 +283,14 @@ def make_windowed_lane_gather(geometry):
             return jax.lax.dynamic_update_slice(dx, d, (0, os_)), None
 
         dx, _ = jax.lax.scan(blk, dx, (out_starts, bwd_starts, relS, validS))
-        return dx, None, None, None, None, None, None, None
+        n_tabs = 11 if has_tail else 7
+        if has_tail:
+            tailS, tailV = res[4], res[5]
+            gf = g.reshape(c, -1)                        # flat k·N + n slots
+            dt = jnp.take(gf, tailS, axis=1)             # [C, S, H]
+            dt = jnp.sum(dt * tailV.astype(gf.dtype)[None], axis=1)
+            dx = jnp.concatenate([dx, dt], axis=1)       # [C, N + H]
+        return (dx,) + (None,) * n_tabs
 
     gather_win.defvjp(_fwd, _bwd)
     return gather_win

@@ -30,7 +30,7 @@ def update_positions_edges(
     edge_map: jnp.ndarray,
     v_edges: jnp.ndarray,
     iter_num: int = 60,
-    lmbd: float = 1.0 / 18.0,
+    lmbd=1.0 / 18.0,
     checkpoint: bool = True,
     adaptive_tol: float = 0.0,
 ) -> jnp.ndarray:
@@ -57,15 +57,30 @@ def update_positions_edges(
     per iteration (relative to its current level). The predicted normals
     are never perfectly consistent, so r converges to a positive floor;
     on a nearly-clean input r starts AT that floor and the loop exits
-    after ~1 iteration instead of drifting the vertices tangentially for
-    60 (the round-4 caveat: refined WORSE than noisy in Hausdorff at
-    noise 0.1 on CAD shapes), while a noisy input keeps the full
-    productive schedule. Inference-only (``lax.while_loop`` is not
+    after a few iterations instead of drifting the vertices tangentially
+    for 60 (the round-4 caveat: refined WORSE than noisy in Hausdorff at
+    noise 0.1 on CAD shapes), while a noisy input keeps the productive
+    part of the schedule. Inference-only (``lax.while_loop`` is not
     reverse-mode differentiable); the training paths keep the fixed
     schedule the loss was trained through.
+
+    ``lmbd="degree"`` replaces the reference's global 1/18 step with the
+    per-vertex ``1/(3·deg_v)`` it implicitly assumes (1/18 IS 1/(3·6),
+    the regular-valence case): on meshes with high-valence vertices
+    (e.g. a triangle-fan plate center with 64 incident edges) the global
+    step exceeds the Jacobi stability bound and the iteration DIVERGES —
+    measured residual growth of 1e6-1e13× over the reference's own 60
+    iterations on cylinder-on-plate meshes, masked in mean metrics only
+    because 60 iterations end before the oscillating mode blows up.
     """
     # one-index edges; prepend zero line so pad slots (-1 → 0) are inert
     v_edges1 = v_edges.astype(jnp.int32) + 1
+    if isinstance(lmbd, str):
+        if lmbd != "degree":
+            raise ValueError(f"unknown lmbd mode {lmbd!r}")
+        deg = jnp.sum((v_edges >= 0).astype(x.dtype), axis=-1)
+        lmbd = jnp.where(deg > 0, 1.0 / (3.0 * jnp.maximum(deg, 1.0)),
+                         0.0)[:, None]
     emap = edge_map.astype(jnp.int32) + jnp.array([[0, 0, 1, 1]], jnp.int32)
     emap = jnp.concatenate([jnp.zeros((1, 4), jnp.int32), emap], axis=0)
     fn_pad = jnp.concatenate([jnp.zeros((1, 3), face_normals.dtype), face_normals], axis=0)
@@ -265,15 +280,36 @@ def _face_center_tables(faces, num_faces_per_level, num_vertices,
     (one-indexed lane tables over the vertex axis + weights).
     """
     import numpy as np
-    import scipy.sparse as sp
 
     from facet_graph_convolution_tpu.graph.convert import lane_tables
+
+    per_scale = []
+    for adj, wt in face_center_klists(faces, num_faces_per_level,
+                                      num_vertices, coarsening_steps):
+        fadjT, fadjT_t = lane_tables(adj, num_sources=int(num_vertices))
+        per_scale.append((
+            jnp.asarray(fadjT),
+            jnp.asarray(fadjT_t),
+            jnp.asarray(np.ascontiguousarray(wt.T)),
+        ))
+    return per_scale
+
+
+def face_center_klists(faces, num_faces_per_level, num_vertices,
+                       coarsening_steps):
+    """Raw per-scale level-s-face → vertex K-lists for ``c_s = A_s·x``
+    (see :func:`_face_center_tables` for the weight derivation). Returns
+    per-scale ``(adj [F_s, K_s] one-indexed vertex ids, 0 = pad,
+    wt [F_s, K_s] float32)`` — consumed directly by the sharded solver's
+    partitioner as well as the single-chip lane-table wrapper."""
+    import numpy as np
+    import scipy.sparse as sp
 
     faces = np.asarray(faces)
     f0 = faces.shape[0]
     nz = faces[:, 0] >= 0                    # fake faces are all −1
     w = nz.astype(np.float64)
-    per_scale = []
+    out = []
     sub = 1                                  # fine faces per current node
     for s, f_s in enumerate(num_faces_per_level):
         if s > 0:
@@ -302,13 +338,8 @@ def _face_center_tables(faces, num_faces_per_level, num_vertices,
             else np.zeros((0,), np.int64)
         adj[rows, cols] = mat.indices + 1    # one-indexed
         wt[rows, cols] = mat.data
-        fadjT, fadjT_t = lane_tables(adj, num_sources=int(num_vertices))
-        per_scale.append((
-            jnp.asarray(fadjT),
-            jnp.asarray(fadjT_t),
-            jnp.asarray(np.ascontiguousarray(wt.T)),
-        ))
-    return per_scale
+        out.append((adj, wt))
+    return out
 
 
 def build_solver_tables(

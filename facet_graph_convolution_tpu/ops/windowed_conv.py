@@ -18,6 +18,15 @@ gathers contributions across slab boundaries), and reuses the windowed
 backward slot tables (relS/validS) for the scatter-free dcat accumulation —
 the same machinery as ops.gather.make_windowed_lane_gather's backward.
 
+Halo-extended inputs (D > 1 sharded levels, ``geometry`` with
+``num_sources > num_out``): ``cat_t`` is the halo-extended [C+M, N + H]
+array (the caller runs the halo exchange first), the windowed table pack
+carries the 4-array tail pack, slots pointing at halo columns are masked
+out of the banded take and added from a flat take on the small [C+M, H]
+tail, and the backward returns the full [C+M, N + H] cotangent so the
+exchange's autodiff routes boundary cotangents to their owners. At D == 1
+the emitted program is unchanged.
+
 Semantics match the win-branch of parallel.halo._sharded_conv_nminor
 (aggregate-then-transform factorization of the reference conv,
 model.py:407-501, on a self-split deduped graph) up to fp reassociation;
@@ -39,8 +48,9 @@ def make_windowed_fused_conv(geometry):
     Returns ``f(cat_t, ux_t, wf, c, mult_rows, *win_arrays) -> y [out, N]``
     (f32, bias NOT applied — the caller adds the degree-gated bias):
 
-    - ``cat_t`` [C+M, N]: [x | proj·x] activations, already in the compute
-      dtype (the caller's cast) — C = in_ch feature rows, M projection rows;
+    - ``cat_t`` [C+M, N (+H)]: [x | proj·x] activations, already in the
+      compute dtype (the caller's cast) — C = in_ch feature rows, M
+      projection rows; halo-extended when the geometry has a tail;
     - ``ux_t`` [M, N]: the per-node assignment term u·x (compute dtype
       applied inside, mirroring the unfused path);
     - ``wf`` [out, M·C]: the transform, ``transpose(w,(1,0,2)).reshape``;
@@ -48,16 +58,26 @@ def make_windowed_fused_conv(geometry):
     - ``mult_rows`` [K'+1, N]: fused multiplicity × 1/deg rows (slot 0 =
       self; 0 on padding slots — this is what zeroes the clamped gather's
       in-window garbage);
-    - ``win_arrays``: ``WindowedLaneTables.arrays``.
+    - ``win_arrays``: ``WindowedLaneTables.arrays`` (7 entries, +4 tail
+      entries when the level is halo-extended).
     """
     block, window, bwd_window, num_sources, num_out = map(int, geometry)
+    has_tail = num_sources > num_out
+    n_tabs = 11 if has_tail else 7
 
-    def _slab_forward(cat_t, ux_t, c, mult_rows, os_, ws, r, dtype, in_ch):
+    def _slab_forward(cat_t, ux_t, c, mult_rows, xs, dtype, in_ch):
         cm = cat_t.shape[0]
         m = ux_t.shape[0]
-        k = r.shape[0]
+        if has_tail:
+            os_, ws, r, nt, tt = xs
+            tail_pad = jnp.concatenate(
+                [jnp.zeros_like(cat_t[:, :1]), cat_t[:, num_out:]], axis=1)
+        else:
+            os_, ws, r = xs
         win = jax.lax.dynamic_slice(cat_t, (0, ws), (cm, window))
         g = jnp.take(win, r, axis=1)                       # [CM, K, block]
+        if has_tail:
+            g = g * nt.astype(cat_t.dtype) + jnp.take(tail_pad, tt, axis=1)
         self_c = jax.lax.dynamic_slice(cat_t, (0, os_), (cm, block))
         nbr = jnp.concatenate([self_c[:, None, :], g], axis=1)  # [CM, K+1, b]
         mr = jax.lax.dynamic_slice(mult_rows, (0, os_),
@@ -72,10 +92,13 @@ def make_windowed_fused_conv(geometry):
                     dtype=jnp.float32)                     # [M, C, block]
         return nbr, mr, q_raw, q, x_nbr, z
 
+    def _fwd_xs(tabs):
+        if has_tail:
+            return (tabs[0], tabs[1], tabs[2], tabs[7], tabs[8])
+        return (tabs[0], tabs[1], tabs[2])
+
     @jax.custom_vjp
-    def fused(cat_t, ux_t, wf, c, mult_rows,
-              out_starts, win_starts, relT, validF,
-              bwd_starts, relS, validS):
+    def fused(cat_t, ux_t, wf, c, mult_rows, *tabs):
         dtype = cat_t.dtype
         m = ux_t.shape[0]
         in_ch = cat_t.shape[0] - m
@@ -86,35 +109,31 @@ def make_windowed_fused_conv(geometry):
             cat_t[0, 0] * 0).astype(jnp.float32)
 
         def blk(y, xs):
-            os_, ws, r = xs
+            os_ = xs[0]
             _, _, _, _, _, z = _slab_forward(
-                cat_t, ux_t, c, mult_rows, os_, ws, r, dtype, in_ch)
+                cat_t, ux_t, c, mult_rows, xs, dtype, in_ch)
             z_dt = z.reshape(m * in_ch, block).astype(dtype)
             y_s = jnp.einsum("oz,zn->on", wf.astype(dtype), z_dt,
                              preferred_element_type=jnp.float32)
             return jax.lax.dynamic_update_slice(y, y_s, (0, os_)), None
 
-        y, _ = jax.lax.scan(blk, y, (out_starts, win_starts, relT))
+        y, _ = jax.lax.scan(blk, y, _fwd_xs(tabs))
         return y
 
-    def _fwd(cat_t, ux_t, wf, c, mult_rows,
-             out_starts, win_starts, relT, validF,
-             bwd_starts, relS, validS):
-        y = fused(cat_t, ux_t, wf, c, mult_rows,
-                  out_starts, win_starts, relT, validF,
-                  bwd_starts, relS, validS)
-        return y, (cat_t, ux_t, wf, c, mult_rows,
-                   out_starts, win_starts, relT, bwd_starts, relS, validS)
+    def _fwd(cat_t, ux_t, wf, c, mult_rows, *tabs):
+        y = fused(cat_t, ux_t, wf, c, mult_rows, *tabs)
+        return y, (cat_t, ux_t, wf, c, mult_rows, tabs)
 
     def _bwd(res, gy):
-        (cat_t, ux_t, wf, c, mult_rows,
-         out_starts, win_starts, relT, bwd_starts, relS, validS) = res
+        (cat_t, ux_t, wf, c, mult_rows, tabs) = res
+        out_starts = tabs[0]
+        relT = tabs[2]
+        bwd_starts, relS, validS = tabs[4], tabs[5], tabs[6]
         dtype = cat_t.dtype
         cm = cat_t.shape[0]
         m = ux_t.shape[0]
         in_ch = cm - m
         k = relT.shape[1]
-        nblk = out_starts.shape[0]
 
         # the LAST slab overlaps its predecessor (identical values for the
         # overlap columns): idempotent dynamic_update writes are safe, but
@@ -133,9 +152,10 @@ def make_windowed_fused_conv(geometry):
 
         def blk(carry, xs):
             dG, dcat_self, dux, dw_acc, dc_acc = carry
-            os_, ws, r, fo = xs
+            fwd_xs, fo = xs
+            os_ = fwd_xs[0]
             nbr, mr, q_raw, q, x_nbr, z = _slab_forward(
-                cat_t, ux_t, c, mult_rows, os_, ws, r, dtype, in_ch)
+                cat_t, ux_t, c, mult_rows, fwd_xs, dtype, in_ch)
             gy_s = jax.lax.dynamic_slice(gy, (0, os_),
                                          (gy.shape[0], block))  # [out, b] f32
             fresh = (jnp.arange(block) >= fo).astype(jnp.float32)[None, :]
@@ -174,7 +194,7 @@ def make_windowed_fused_conv(geometry):
 
         (dG, dcat_self, dux, dw_acc, dc_acc), _ = jax.lax.scan(
             blk, (dG, dcat_self, dux, dw_acc, dc_acc),
-            (out_starts, win_starts, relT, fresh_off))
+            (_fwd_xs(tabs), fresh_off))
 
         # scatter-free dcat from the gather-output cotangent dG — identical
         # machinery to make_windowed_lane_gather's backward
@@ -191,9 +211,17 @@ def make_windowed_fused_conv(geometry):
         dcat, _ = jax.lax.scan(blk2, dcat,
                                (out_starts, bwd_starts, relS, validS))
         dcat = dcat + dcat_self
+        if has_tail:
+            # tail cotangent: flat transpose gather over dG's k·N + n slots
+            # (the tail is halo-fraction-sized; the exchange's autodiff
+            # routes these columns back to their owning shards)
+            tailS, tailV = tabs[9], tabs[10]
+            gf = dG.reshape(cm, -1)
+            dt = jnp.take(gf, tailS, axis=1)               # [CM, S, H]
+            dt = jnp.sum(dt * tailV.astype(gf.dtype)[None], axis=1)
+            dcat = jnp.concatenate([dcat, dt], axis=1)     # [CM, N + H]
         return (dcat, dux.astype(ux_t.dtype), dw_acc.astype(wf.dtype),
-                dc_acc.astype(c.dtype), None,
-                None, None, None, None, None, None, None)
+                dc_acc.astype(c.dtype), None) + (None,) * n_tabs
 
     fused.defvjp(_fwd, _bwd)
     return fused

@@ -458,15 +458,19 @@ def partition_operands_nminor(part: GraphPartition, windows=None):
         )
         wt = windows[i] if windows is not None else None
         if wt is not None:
-            # windowed levels must be purely local — a non-None window for a
-            # level with ring offsets or cross-host tables would silently
-            # drop its halo exchange (build_level_windows' contract)
-            assert (
-                part.num_shards == 1
-                and len(lvl.offsets) == 0
-                and lvl.cross_send is None
-            ), "windowed level must have D==1, no ring offsets, no cross_send"
-            dummy = jnp.zeros((1, 1, 1), jnp.int32)
+            has_halo = len(lvl.offsets) > 0 or lvl.cross_send is not None
+            assert wt.has_tail == has_halo, (
+                "windowed tables' tail pack must match the level's halo"
+            )
+            dummy = jnp.zeros((part.num_shards, 1, 1), jnp.int32)
+            wt_arrays = (
+                tuple(jnp.asarray(a) for a in wt.arrays)
+                if part.num_shards > 1
+                else tuple(jnp.asarray(a)[None] for a in wt.arrays)
+            )
+            # cross (batched-a2a) entries, when present, sit between the
+            # base 5 and the window pack — the conv derives their presence
+            # from len(ops) vs the geometry's static pack size
             ops.append(
                 (
                     dummy,
@@ -475,7 +479,8 @@ def partition_operands_nminor(part: GraphPartition, windows=None):
                     jnp.asarray(lvl.recv_mask),
                     jnp.asarray(rows),
                 )
-                + tuple(jnp.asarray(a)[None] for a in wt.arrays)
+                + _cross_entries(lvl)
+                + wt_arrays
             )
         else:
             ops.append(
@@ -507,14 +512,21 @@ def build_level_windows(
     the operand leaves the on-chip working set; per-block dynamic-slice
     windows over the RCM-ordered index space restore ~2.2-2.8 ns/row).
 
-    A level qualifies only when its gather source is purely local (D == 1:
-    no ring offsets, no cross-host tables — halo columns live at the array
-    tail, outside any local band), it is big enough to be in the degraded
-    regime (``min_nodes``), and the pyramid has index locality
-    (``windowed_lane_tables`` returns None for non-RCM orderings). The
+    A level qualifies when its per-shard block is big enough to be in the
+    degraded regime (``min_nodes``) and the pyramid has index locality
+    (``windowed_lane_tables`` returns None for non-RCM orderings). D > 1
+    levels window too (round 5), under either exchange mode (per-offset
+    rings or batched all_to_all): each shard's owned columns are a
+    contiguous RCM band and its halo columns live at the extended tail,
+    carried by the tables' tail pack — the conv still runs its halo
+    exchange first, then the windowed gather over the extended array. The
     rotation-invariant first conv keeps the flat gather (its zero-padding
     contract is carried by ``validF``, wired only for the default conv), so
-    level 0 is skipped for that variant."""
+    level 0 is skipped for that variant.
+
+    At D > 1 the per-shard tables are built with a SHARED static geometry
+    (window/bwd_window maxed across shards) and stacked [D, ...]; if any
+    shard lacks locality the level falls back to flat for all."""
     from facet_graph_convolution_tpu.graph.convert import windowed_lane_tables
 
     if min_nodes is None:
@@ -523,25 +535,62 @@ def build_level_windows(
         block = WINDOWED_BLOCK
     out = []
     for i, lvl in enumerate(part.levels):
-        local_only = (
-            part.num_shards == 1
-            and len(lvl.offsets) == 0
-            and lvl.cross_send is None
-        )
         if (
-            not local_only
-            or lvl.block < min_nodes
+            lvl.block < min_nodes
             or (i == 0 and variant == FacetConvVariant.ROTATION_INVARIANT)
         ):
             out.append(None)
             continue
         key = (i, block)
         if key not in part._window_cache:
-            part._window_cache[key] = windowed_lane_tables(
-                lvl.local_adj[0], block=block
-            )
+            part._window_cache[key] = _build_shard_windows(lvl, block)
         out.append(part._window_cache[key])
     return out
+
+
+def _build_shard_windows(lvl: LevelPartition, block: int,
+                         force_window=None, force_bwd=None):
+    """Windowed tables for every shard of one level under ONE static
+    geometry (the scan body is compiled once and runs on all shards), or
+    None when any shard lacks the banded structure. Returns a
+    WindowedLaneTables whose array pack is stacked [D, ...].
+    ``force_window``/``force_bwd`` pin a LARGER static geometry
+    (multi-mesh compile reuse — see :func:`unify_level_windows`)."""
+    from facet_graph_convolution_tpu.graph.convert import (
+        WindowedLaneTables,
+        windowed_lane_tables,
+    )
+
+    d = lvl.local_adj.shape[0]
+    ext = lvl.lane_adj_t.shape[2]
+
+    def build(s, window=force_window, bwd_window=force_bwd):
+        return windowed_lane_tables(
+            lvl.local_adj[s], num_sources=ext, block=block,
+            window=window, bwd_window=bwd_window,
+            tables=(lvl.lane_adj[s], lvl.lane_adj_t[s]),
+        )
+    if d == 1:
+        return build(0)
+    per = [build(s) for s in range(d)]
+    if any(wt is None for wt in per):
+        return None
+    wmax = max(wt.window for wt in per)
+    bmax = max(wt.bwd_window for wt in per)
+    per = [wt if (wt.window == wmax and wt.bwd_window == bmax)
+           else build(s, window=wmax, bwd_window=bmax)
+           for s, wt in enumerate(per)]
+    ref = per[0]
+    stacked = [np.stack([wt.arrays[j] for wt in per])
+               for j in range(len(ref.arrays))]
+    names = ("out_starts", "win_starts", "relT", "validF",
+             "bwd_starts", "relS", "validS", "not_tail", "tailT",
+             "tailS", "tailV")
+    kw = dict(zip(names, stacked))
+    return WindowedLaneTables(
+        block=ref.block, window=wmax, bwd_window=bmax,
+        num_sources=ref.num_sources, num_out=ref.num_out, **kw,
+    )
 
 
 def unify_level_windows(
@@ -556,8 +605,6 @@ def unify_level_windows(
     sharded step serves every mesh. Results land in each partition's window
     cache, where :func:`build_level_windows` (and hence
     ``make_sharded_train_step``) picks them up."""
-    from facet_graph_convolution_tpu.graph.convert import windowed_lane_tables
-
     if block is None:
         block = WINDOWED_BLOCK
     per_part = [
@@ -574,9 +621,9 @@ def unify_level_windows(
         bmax = max(wt.bwd_window for wt in wts)
         for p, wt in zip(parts, wts):
             if wt.window != wmax or wt.bwd_window != bmax:
-                p._window_cache[(i, block)] = windowed_lane_tables(
-                    p.levels[i].local_adj[0], block=block,
-                    window=wmax, bwd_window=bmax,
+                p._window_cache[(i, block)] = _build_shard_windows(
+                    p.levels[i], block,
+                    force_window=wmax, force_bwd=bmax,
                 )
 
 
@@ -760,7 +807,15 @@ def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
 
     adj, adj_t, send_idx, recv_mask, mult_rows = ops[:5]
     if win is not None:
-        cross_send, cross_mask = None, None
+        # window pack size is static from the geometry; cross (a2a) tables,
+        # when the level has them, sit at ops[5:7] before the pack
+        n_wt = 11 if int(win[3]) > int(win[4]) else 7
+        if len(ops) == 5 + 2 + n_wt:
+            cross_send, cross_mask = ops[5], ops[6]
+        else:
+            assert len(ops) == 5 + n_wt, (len(ops), n_wt)
+            cross_send, cross_mask = None, None
+        wt_ops = ops[len(ops) - n_wt:]
     else:
         cross_send, cross_mask = ops[5:] if len(ops) > 5 else (None, None)
     u, c, w, b = params["u"], params["c"], params["w"], params["b"]
@@ -789,6 +844,12 @@ def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
     vx_t = proj @ x_t                                    # [M, n]
     ux_t = u @ x_t                                       # [M, n]
     cat_t = jnp.concatenate([x_t, vx_t], axis=0).astype(dtype)   # [C+M, n]
+    if win is not None:
+        # D > 1 windowed levels halo-extend FIRST; the windowed tables' tail
+        # pack gathers the halo columns from the extended tail (round 5)
+        if int(win[3]) > int(win[4]):
+            cat_t = _halo_extend_nminor(cat_t, send_idx, recv_mask, offsets,
+                                        axis, cross_send, cross_mask)
     if win is not None and _WINDOWED_FUSED:
         # fused HBM-scale conv (BASELINE.md round 4): the whole epilogue —
         # gather, softmax assignment, multiplicity weighting, aggregation,
@@ -801,16 +862,16 @@ def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
 
         wf = jnp.transpose(w, (1, 0, 2)).reshape(out_ch, m * in_ch)
         y_t = make_windowed_fused_conv(win)(
-            cat_t, ux_t, wf, c, mult_rows, *ops[5:12]).astype(jnp.float32)
+            cat_t, ux_t, wf, c, mult_rows, *wt_ops).astype(jnp.float32)
         gate = (jnp.sum(mult_rows, axis=0) > 0).astype(y_t.dtype)
         return y_t + b[:, None] * gate[None, :]
     if win is not None:
         # unfused windowed gather (BASELINE.md round 3; kept for A/B and as
-        # the rotinv-adjacent fallback): the level is purely local, so the
-        # extended array IS cat_t; clamped contract — padding slots gather
-        # finite in-window garbage, provably zeroed by the mult_rows
-        # multiply on q below
-        nbr_g = make_windowed_lane_gather(win)(cat_t, *ops[5:12])
+        # the rotinv-adjacent fallback): at D == 1 the extended array IS
+        # cat_t; clamped contract — padding slots gather finite in-window
+        # garbage, provably zeroed by the mult_rows multiply on q below
+        nbr_g = make_windowed_lane_gather(win)(cat_t, *wt_ops)
+        cat_t = cat_t[:, : mult_rows.shape[1]]           # drop halo tail
     else:
         cat_ext_t = _halo_extend_nminor(cat_t, send_idx, recv_mask, offsets,
                                         axis, cross_send, cross_mask)
@@ -887,7 +948,18 @@ def sharded_unet_forward_local_nminor(
     backward recomputes each conv's halo exchange + gather + softmax instead
     of saving the [C+M, K, n] neighbour tensors and the [1024, n] fc
     activations — the memory regime that fits multi-million-node shards
-    (per-conv residuals alone exceed HBM at ~1.6M nodes on one chip)."""
+    (per-conv residuals alone exceed HBM at ~1.6M nodes on one chip).
+
+    FUSED-windowed convs are never checkpointed even under ``remat=True``:
+    the fused slab conv's custom VJP already saves only its [C+M, n] inputs
+    (the same residual footprint checkpoint would keep) and recomputes each
+    slab inside its own backward scan, so wrapping it in ``jax.checkpoint``
+    buys no memory. Measured near-neutral on the 1.27M-node torus (round 5:
+    1.618 → 1.582 s busy, −2.2% — XLA had already dead-code-eliminated the
+    redundant recompute because the custom VJP's residuals are the inputs);
+    kept because it removes the pointless wrapper and its barrier
+    interactions (the remat+custom-VJP miscompile class, BASELINE.md
+    round 4)."""
     from facet_graph_convolution_tpu.ops.conv import per_conv_variants
 
     ops0, ops1, ops2 = level_operands
@@ -901,6 +973,8 @@ def sharded_unet_forward_local_nminor(
             return _sharded_conv_nminor(p, h_t, ops, offs, axis, variant=var,
                                         compute_dtype=compute_dtype, win=win)
 
+        if win is not None and _WINDOWED_FUSED:
+            return apply(p, h_t)
         return ckpt(apply)(p, h_t)
 
     def lin(name, h_t):

@@ -142,12 +142,17 @@ def sharded_update_positions_edges(
     mesh: Mesh,
     axis: str = "graph",
     iter_num: int = 60,
-    lmbd: float = 1.0 / 18.0,
+    lmbd=1.0 / 18.0,
+    adaptive_tol: float = 0.0,
 ) -> np.ndarray:
     """Multi-chip
     :func:`facet_graph_convolution_tpu.ops.vertex_update.update_positions_edges`:
     identical math, vertex-partitioned with a per-iteration boundary
-    exchange. Returns the refined [V, 3] positions."""
+    exchange. ``lmbd="degree"`` and ``adaptive_tol`` mirror the
+    single-device solver's round-5 options (per-vertex 1/(3·deg) step;
+    residual-plateau stop — the stop decision uses the ``psum``-global
+    residual, so every shard exits on the same iteration). Returns the
+    refined [V, 3] positions."""
     n_dev = mesh.shape[axis]
     v = x.shape[0]
 
@@ -181,6 +186,15 @@ def sharded_update_positions_edges(
          np.zeros((pad_rows,) + n_f.shape[1:], np.float32)],
         axis=0,
     )
+    if isinstance(lmbd, str):
+        if lmbd != "degree":
+            raise ValueError(f"unknown lmbd mode {lmbd!r}")
+        deg = np.sum(np.asarray(v_edges) >= 0, axis=1).astype(np.float32)
+        lam = np.where(deg > 0, 1.0 / (3.0 * np.maximum(deg, 1.0)), 0.0)
+        lam = np.concatenate([lam, np.zeros(pad_rows, np.float32)])
+        lmbd_sh = jnp.asarray(lam.reshape(n_dev, block, 1))
+    else:
+        lmbd_sh = jnp.full((n_dev, block, 1), float(lmbd), jnp.float32)
 
     local_idx = jnp.asarray(part.local_idx)       # [D, block, maxE, 2]
     send_idx = jnp.asarray(part.send_idx)
@@ -198,16 +212,17 @@ def sharded_update_positions_edges(
             parts.append(received * recv_block[j][:, None])
         return jnp.concatenate(parts, axis=0)
 
-    in_specs = (P(axis), P(axis), P(axis), P(axis), P(axis))
+    in_specs = (P(axis), P(axis), P(axis), P(axis), P(axis), P(axis))
 
     @partial(jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=P(axis))
-    def solve(x_block, idx_block, n_f_block, send_block, recv_block):
+    def solve(x_block, idx_block, n_f_block, send_block, recv_block, lmb_block):
         idx_b = idx_block[0]          # operands carry a leading shard dim of 1
         n_f_b = n_f_block[0]
         send_b = send_block[0]
         recv_b = recv_block[0]
+        lmb = lmb_block[0]
 
-        def body(_, x_loc):
+        def step(x_loc):
             x_ext = _halo_extend(x_loc, send_b, recv_b)
             ext_pad = jnp.concatenate([jnp.zeros_like(x_ext[:1]), x_ext], axis=0)
             xv = jnp.take(ext_pad, idx_b, axis=0)  # [block, maxE, 2, 3]
@@ -215,13 +230,36 @@ def sharded_update_positions_edges(
             s = jnp.sum(e_vec, axis=2)             # [block, maxE, 3]
             proj = dot_last(n_f_b, s[:, :, None, :])
             update = jnp.sum(n_f_b * proj[..., None], axis=(1, 2))
-            return x_loc + lmbd * update
+            r = jax.lax.psum(jnp.sum(jnp.square(proj)), axis)
+            return x_loc + lmb * update, r
+
+        if adaptive_tol > 0.0:
+            big = jnp.asarray(1e30, x_block.dtype)
+
+            def cond(carry):
+                _, r_pp, r_p, i = carry
+                return jnp.logical_and(
+                    i < iter_num, (r_pp - r_p) > adaptive_tol * r_p)
+
+            def w_body(carry):
+                x_loc, _, r_p, i = carry
+                x_new, r = step(x_loc)
+                return x_new, r_p, r, i + 1
+
+            out, _, _, _ = jax.lax.while_loop(
+                cond, w_body,
+                (x_block, big, big * 0.09, jnp.asarray(0, jnp.int32)))
+            return out
+
+        def body(_, x_loc):
+            return step(x_loc)[0]
 
         return jax.lax.fori_loop(0, iter_num, body, x_block)
 
     with mesh:
         out = jax.jit(solve)(
-            jnp.asarray(x_padded), local_idx, n_f_sh, send_idx, recv_mask
+            jnp.asarray(x_padded), local_idx, n_f_sh, send_idx, recv_mask,
+            lmbd_sh,
         )
     return np.asarray(out)[:v]
 
@@ -480,6 +518,177 @@ def _exchange_rows(data_local, send_b, recv_b, offsets, axis):
         received = jax.lax.ppermute(rows, axis, perm)
         parts.append(received * recv_b[j][:, None])
     return jnp.concatenate(parts, axis=0)
+
+
+@dataclasses.dataclass
+class OperatorSolverOperands:
+    """Host-built operands for the sharded linear-OPERATOR multi-scale solver
+    (the graph-parallel twin of
+    ``ops.vertex_update.update_positions_multiscale_operator``): per scale,
+    the DEDUPED vertex→level-s-face incidence with multiplicities (shrinking
+    the per-iteration t-gather from 25 to the distinct-face count) and the
+    static level-s-face→vertex center operator ``c_s = A_s·x``
+    (``ops.vertex_update.face_center_klists``) replacing the per-iteration
+    fine-corner gather + ``avg_ignore_zeros`` pool chain. Build with
+    :func:`prepare_multiscale_solver_operator`."""
+
+    num_vertices: int
+    num_faces: int
+    v_block: int
+    f_block: int
+    # per-scale deduped vertex→face_s tables ([D, vb, K_u] etc.) + mults
+    vfu_locals: Tuple[jnp.ndarray, ...]
+    vfu_sends: Tuple[jnp.ndarray, ...]
+    vfu_recvs: Tuple[jnp.ndarray, ...]
+    vfu_offsets: Tuple[Tuple[int, ...], ...]
+    vfu_mults: Tuple[jnp.ndarray, ...]
+    # per-scale face_s→vertex center-operator tables ([D, fb_s, K_s]) + wts
+    fc_locals: Tuple[jnp.ndarray, ...]
+    fc_sends: Tuple[jnp.ndarray, ...]
+    fc_recvs: Tuple[jnp.ndarray, ...]
+    fc_offsets: Tuple[Tuple[int, ...], ...]
+    fc_weights: Tuple[jnp.ndarray, ...]
+    lmbd: jnp.ndarray
+
+    def device_operands(self):
+        """The array pytree to pass through shard_map (specs: all P(axis))."""
+        return (
+            self.vfu_locals, self.vfu_sends, self.vfu_recvs, self.vfu_mults,
+            self.fc_locals, self.fc_sends, self.fc_recvs, self.fc_weights,
+            self.lmbd,
+        )
+
+
+def prepare_multiscale_solver_operator(
+    face_normals_shapes,              # per-level face counts, fine→coarse
+    faces: np.ndarray,
+    v_faces: np.ndarray,
+    num_vertices: int,
+    num_shards: int,
+    coarsening_steps: int = 2,
+) -> OperatorSolverOperands:
+    from facet_graph_convolution_tpu.graph.convert import dedupe_klist
+    from facet_graph_convolution_tpu.ops.vertex_update import (
+        face_center_klists,
+    )
+
+    levels = len(face_normals_shapes)
+    group = 2 ** coarsening_steps
+    f = faces.shape[0]
+    f_align = num_shards * group ** (levels - 1)
+    assert f % f_align == 0, (f, f_align, "pad faces before partitioning")
+    assert num_vertices % num_shards == 0, (num_vertices, num_shards)
+    fb = f // num_shards
+    vb = num_vertices // num_shards
+
+    counts = np.sum(v_faces >= 0, axis=1).astype(np.float32)
+    lmbd = np.where(counts > 0, 1.0 / np.maximum(counts, 1.0), 0.0)[:, None]
+
+    vfu_locals, vfu_sends, vfu_recvs, vfu_offs, vfu_mults = [], [], [], [], []
+    for s in range(levels):
+        divisor = group ** s
+        vf1 = np.where(v_faces < 0, 0,
+                       (v_faces.astype(np.int64) // divisor) + 1)
+        vf_u, mult = dedupe_klist(vf1.astype(np.int32))
+        idx_s = vf_u.astype(np.int64) - 1                 # 0 pad → −1
+        part = partition_index_map(idx_s, num_shards,
+                                   producer_count=f // divisor)
+        vfu_locals.append(jnp.asarray(part.local_idx))
+        vfu_sends.append(jnp.asarray(part.send_idx))
+        vfu_recvs.append(jnp.asarray(part.recv_mask))
+        vfu_offs.append(part.offsets)
+        vfu_mults.append(jnp.asarray(
+            mult.astype(np.float32).reshape(num_shards, vb, -1)))
+
+    fc_locals, fc_sends, fc_recvs, fc_offs, fc_ws = [], [], [], [], []
+    klists = face_center_klists(faces, face_normals_shapes, num_vertices,
+                                coarsening_steps)
+    for s, (adj, wt) in enumerate(klists):
+        idx_s = adj.astype(np.int64) - 1                  # 0 pad → −1
+        part = partition_index_map(idx_s, num_shards,
+                                   producer_count=num_vertices)
+        fc_locals.append(jnp.asarray(part.local_idx))
+        fc_sends.append(jnp.asarray(part.send_idx))
+        fc_recvs.append(jnp.asarray(part.recv_mask))
+        fc_offs.append(part.offsets)
+        fc_ws.append(jnp.asarray(wt.reshape(num_shards, adj.shape[0] // num_shards, -1)))
+
+    return OperatorSolverOperands(
+        num_vertices=num_vertices,
+        num_faces=f,
+        v_block=vb,
+        f_block=fb,
+        vfu_locals=tuple(vfu_locals),
+        vfu_sends=tuple(vfu_sends),
+        vfu_recvs=tuple(vfu_recvs),
+        vfu_offsets=tuple(vfu_offs),
+        vfu_mults=tuple(vfu_mults),
+        fc_locals=tuple(fc_locals),
+        fc_sends=tuple(fc_sends),
+        fc_recvs=tuple(fc_recvs),
+        fc_offsets=tuple(fc_offs),
+        fc_weights=tuple(fc_ws),
+        lmbd=jnp.asarray(lmbd.reshape(num_shards, vb, 1)),
+    )
+
+
+def multiscale_solver_local_operator(
+    x_loc,                            # [vb, 3] owned vertex positions
+    fn_blocks,                        # per-level [fb/4^s, 3] LIVE face normals
+    ops_dev,                          # OperatorSolverOperands.device_operands,
+                                      # each leaf indexed [0] by the caller
+    vfu_offsets, fc_offsets,          # static offset tuples
+    axis: str,
+    coarsening_steps: int = 2,
+    iter_nums=(80, 20, 20),
+):
+    """Differentiable sharded OPERATOR solver body (inside shard_map) — the
+    graph-parallel twin of
+    ``ops.vertex_update.update_positions_multiscale_operator``: the
+    per-vertex slot normals and the [vb, 3, 3] projector are hoisted out of
+    the loop; each iteration runs ONE vertex→face halo exchange (positions
+    for the static A_s center operator — no fine-corner gather, no pool
+    chain) and ONE face→vertex t-scalar exchange over the DEDUPED slots."""
+    (vfu_ls, vfu_ss, vfu_rs, vfu_ms,
+     fc_ls, fc_ss, fc_rs, fc_ws, lmb) = ops_dev
+    levels = len(fn_blocks)
+    dx_out = []
+    for s in range(levels):
+        cur = levels - 1 - s
+        # loop-invariant: deduped per-vertex normals + hoisted projector
+        fn_ext = _exchange_rows(fn_blocks[cur], vfu_ss[cur], vfu_rs[cur],
+                                vfu_offsets[cur], axis)
+        fn_ext_pad = jnp.concatenate(
+            [jnp.zeros_like(fn_ext[:1]), fn_ext], axis=0
+        )
+        v_fn = jnp.take(fn_ext_pad, vfu_ls[cur], axis=0)    # [vb, K_u, 3]
+        mult = vfu_ms[cur]                                  # [vb, K_u]
+        p = jnp.einsum("vka,vkb,vk->vab", v_fn, v_fn, mult)  # [vb, 3, 3]
+
+        def body(_, x_l, cur=cur, v_fn=v_fn, mult=mult, p=p,
+                 fn_cur=fn_blocks[cur]):
+            # c_s = A_s·x directly (static operator; fake faces have no
+            # slots → exact zero, matching the corner+pool chain)
+            x_ext = _exchange_rows(x_l, fc_ss[cur], fc_rs[cur],
+                                   fc_offsets[cur], axis)
+            ext_pad = jnp.concatenate([jnp.zeros_like(x_ext[:1]), x_ext],
+                                      axis=0)
+            g = jnp.take(ext_pad, fc_ls[cur], axis=0)       # [fb_s, K_s, 3]
+            c = jnp.sum(fc_ws[cur][..., None] * g, axis=1)  # [fb_s, 3]
+            t_loc = jnp.sum(fn_cur * c, axis=-1, keepdims=True)  # [fb_s, 1]
+            t_ext = _exchange_rows(t_loc, vfu_ss[cur], vfu_rs[cur],
+                                   vfu_offsets[cur], axis)
+            t_pad = jnp.concatenate([jnp.zeros_like(t_ext[:1]), t_ext],
+                                    axis=0)
+            t_vk = jnp.take(t_pad, vfu_ls[cur], axis=0)[..., 0]  # [vb, K_u]
+            term1 = jnp.sum((mult * t_vk)[..., None] * v_fn, axis=1)
+            px = jnp.einsum("vab,vb->va", p, x_l)
+            return x_l + lmb * (term1 - px)
+
+        x_init = x_loc
+        x_loc = jax.lax.fori_loop(0, int(iter_nums[s]), body, x_loc)
+        dx_out.append(x_loc - x_init)
+    return x_loc, tuple(dx_out)
 
 
 def multiscale_solver_local(

@@ -33,8 +33,11 @@ from facet_graph_convolution_tpu.parallel.halo import (
 )
 from facet_graph_convolution_tpu.parallel.vertex_halo import (
     MultiscaleSolverOperands,
+    OperatorSolverOperands,
     multiscale_solver_local,
+    multiscale_solver_local_operator,
     prepare_multiscale_solver,
+    prepare_multiscale_solver_operator,
 )
 from facet_graph_convolution_tpu.training.trainer import TrainState
 
@@ -77,7 +80,14 @@ def prepare_vertex_training(
         axis=0,
     )
 
-    solver_ops = prepare_multiscale_solver(
+    # solver body by config: "operator" (deduped tables + static A_s center
+    # operator + hoisted projector — the round-4/5 single-chip default,
+    # ported here round 5) or "naive" (per-slot body, fine-corner gather +
+    # pool chain per iteration)
+    prep = (prepare_multiscale_solver_operator
+            if cfg.eval.vertex_solver == "operator"
+            else prepare_multiscale_solver)
+    solver_ops = prep(
         [padded.num_nodes // group**s for s in range(cfg.model.coarsening_levels)],
         faces_p, v_faces, vertices.shape[0], num_shards,
         coarsening_steps=cfg.model.coarsening_steps,
@@ -141,11 +151,18 @@ def make_sharded_vertex_train_step(
             n0 = _sharded_normalize_tensor(y0, axis)
             n1 = _sharded_normalize_tensor(y1, axis)
             n2 = _sharded_normalize_tensor(y2, axis)
-            refined, _ = multiscale_solver_local(
-                v_rot, (n0, n1, n2), sop,
-                solver_ops.fv_offsets, solver_ops.vf_offsets, axis,
-                coarsening_steps=steps, iter_nums=iter_nums,
-            )
+            if isinstance(solver_ops, OperatorSolverOperands):
+                refined, _ = multiscale_solver_local_operator(
+                    v_rot, (n0, n1, n2), sop,
+                    solver_ops.vfu_offsets, solver_ops.fc_offsets, axis,
+                    coarsening_steps=steps, iter_nums=iter_nums,
+                )
+            else:
+                refined, _ = multiscale_solver_local(
+                    v_rot, (n0, n1, n2), sop,
+                    solver_ops.fv_offsets, solver_ops.vf_offsets, axis,
+                    coarsening_steps=steps, iter_nums=iter_nums,
+                )
             # chamfer: gather the full refined set once (small), sample
             refined_full = jax.lax.all_gather(refined, axis).reshape(-1, 3)
             sp0 = jnp.take(refined_full, idx0, axis=0)       # [s0, 3]

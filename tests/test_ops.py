@@ -238,6 +238,76 @@ def test_update_positions_edges_flattens_noise(cube, rng):
     assert planarity(out) < 0.3 * planarity(noisy)
 
 
+def test_update_positions_edges_adaptive_and_degree(cube, rng):
+    """Round-5 solver options: the residual-plateau stop must leave a
+    nearly-clean input almost untouched (the fixed schedule drifts it), the
+    degree-scaled step must still flatten noise, and tol=0 + λ=1/18 stays
+    the exact reference path."""
+    v, f = cube
+    gt_normals = compute_face_normals(v, f)
+    e_map, v_e_map = edge_map(f, max_edges=20)
+
+    def solve(x, **kw):
+        return np.asarray(update_positions_edges(
+            jnp.asarray(x), jnp.asarray(gt_normals), jnp.asarray(e_map),
+            jnp.asarray(v_e_map), iter_num=60, **kw))
+
+    # nearly-clean input: adaptive stop must move it (much) less than the
+    # fixed schedule does
+    clean = v + rng.normal(scale=1e-4, size=v.shape).astype(np.float32)
+    d_fixed = np.abs(solve(clean) - clean).max()
+    d_adapt = np.abs(solve(clean, adaptive_tol=0.01) - clean).max()
+    assert d_adapt <= d_fixed
+
+    # degree-scaled step still flattens real noise
+    noisy = v + rng.normal(scale=0.05, size=v.shape).astype(np.float32)
+    out = solve(noisy, lmbd="degree", adaptive_tol=0.01)
+
+    def planarity(verts):
+        tri = verts[np.asarray(f, np.int64)]
+        spread = 0.0
+        for i in range(3):
+            d = np.sum((tri[:, i] - tri.mean(axis=1)) * gt_normals, axis=-1)
+            spread += np.abs(d).mean()
+        return spread
+
+    assert planarity(out) < 0.7 * planarity(noisy)
+
+    # the cube is valence-4/6 so "degree" ≠ 1/18 rows exist; but tol=0 with
+    # the default λ must be bit-identical to the original fixed path
+    np.testing.assert_array_equal(solve(noisy), solve(noisy, adaptive_tol=0.0))
+
+
+def test_update_positions_edges_degree_stable_on_fan(rng):
+    """High-valence fan (a 16-triangle umbrella): the reference's global
+    λ=1/18 step diverges (residual grows), the degree-scaled step stays
+    stable — the measured cylinder-on-plate failure in miniature."""
+    n = 24
+    hub = np.array([[0.0, 0.0, 0.0]], np.float32)
+    ring = np.stack([np.cos(np.linspace(0, 2 * np.pi, n, endpoint=False)),
+                     np.sin(np.linspace(0, 2 * np.pi, n, endpoint=False)),
+                     np.zeros(n)], axis=1).astype(np.float32)
+    v = np.concatenate([hub, ring], axis=0)
+    f = np.stack([np.zeros(n, np.int64), np.arange(1, n + 1),
+                  np.roll(np.arange(1, n + 1), -1)], axis=1)
+    normals = compute_face_normals(v, f)
+    e_map, v_e_map = edge_map(f, max_edges=2 * n)
+    noisy = v + rng.normal(scale=0.02, size=v.shape).astype(np.float32)
+
+    def spread(x):
+        return float(np.abs(np.asarray(x)[:, 2]).max())
+
+    out_ref = update_positions_edges(
+        jnp.asarray(noisy), jnp.asarray(normals), jnp.asarray(e_map),
+        jnp.asarray(v_e_map), iter_num=60, lmbd=1.0 / 18.0)
+    out_deg = update_positions_edges(
+        jnp.asarray(noisy), jnp.asarray(normals), jnp.asarray(e_map),
+        jnp.asarray(v_e_map), iter_num=60, lmbd="degree")
+    # flat fan: z-spread measures constraint violation directly
+    assert spread(out_deg) < spread(jnp.asarray(noisy))
+    assert spread(out_deg) < spread(out_ref)
+
+
 def test_update_positions_edges_differentiable(cube, rng):
     v, f = cube
     gt_normals = compute_face_normals(v, f)

@@ -534,10 +534,13 @@ def test_sharded_with_vertices_inference_matches():
         np.testing.assert_allclose(out[key], ref[key], atol=2e-4, err_msg=key)
 
 
-def test_sharded_vertex_training_matches_and_learns():
+@pytest.mark.parametrize("solver", ["operator", "naive"])
+def test_sharded_vertex_training_matches_and_learns(solver):
     """Sharded end-to-end vertex training: first-step chamfer loss matches
     the single-device trainer (same samples, no augmentation), and the loss
-    decreases over iterations."""
+    decreases over iterations — for BOTH sharded solver bodies (the round-5
+    operator port and the per-slot naive body), each against the
+    single-device naive oracle."""
     import optax
 
     from facet_graph_convolution_tpu.data.dataset import TrainingSet
@@ -564,7 +567,7 @@ def test_sharded_vertex_training_matches_and_learns():
 
     cfg = default_config().replace(
         model={"channels": (8, 16, 32), "num_filters": 4, "fc_channels": 32},
-        eval={"ms_solver_iterations": (8, 4, 4)},
+        eval={"ms_solver_iterations": (8, 4, 4), "vertex_solver": solver},
         train={"learning_rate": 1e-3},
     )
     mesh = make_mesh((1, D), ("data", "graph"))

@@ -58,12 +58,55 @@ def test_windowed_matches_flat(n, block):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("n,block", [(4096, 512)])
+def test_windowed_tail_matches_flat(n, block):
+    """Halo-extended sources (D>1 levels): a K-list mixing banded owned
+    entries with tail (halo) entries must match the flat lane gather over
+    the extended array — values on valid slots AND the full [C, N+H]
+    input cotangent (the tail part is what the halo exchange's autodiff
+    routes back to owning shards)."""
+    k, band, c, halo = 7, 96, 5, 160
+    ext = n + halo
+    adj = banded_klist(n, k, band)
+    # rewrite ~10% of valid slots to tail entries (one-indexed n+1..ext)
+    rng = np.random.default_rng(9)
+    to_tail = (rng.random(adj.shape) < 0.1) & (adj > 0)
+    adj = np.where(to_tail, rng.integers(n + 1, ext + 1, size=adj.shape),
+                   adj).astype(np.int32)
+    wt = windowed_lane_tables(adj, num_sources=ext, block=block, align=64)
+    assert wt is not None and wt.has_tail
+    adjT, adjT_t = lane_tables(adj, num_sources=ext)
+    x = jnp.asarray(rng.standard_normal((c, ext)).astype(np.float32))
+    validF = jnp.asarray(adjT > 0)[None].astype(np.float32)
+
+    gw = make_windowed_lane_gather(wt.geometry)
+    wt_args = tuple(jnp.asarray(a) for a in wt.arrays)
+
+    def flat_loss(x):
+        g = gather_neighbors_lane(x, jnp.asarray(adjT), jnp.asarray(adjT_t),
+                                  clamped=True)
+        return jnp.sum((g * validF) ** 2), g * validF
+
+    def win_loss(x):
+        g = gw(x, *wt_args)
+        return jnp.sum((g * validF) ** 2), g * validF
+
+    (lf, gf), dxf = jax.value_and_grad(flat_loss, has_aux=True)(x)
+    (lw, gx), dxw = jax.value_and_grad(win_loss, has_aux=True)(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lw), rtol=1e-6)
+    assert dxw.shape == (c, ext)
+    np.testing.assert_allclose(np.asarray(dxf), np.asarray(dxw),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_builder_fallbacks():
     adj = banded_klist(4096, 7, 64)
     # too few blocks
     assert windowed_lane_tables(adj, block=4096) is None
-    # halo-extended source
-    assert windowed_lane_tables(adj, num_sources=5000, block=512) is None
+    # halo-extended source builds the tail pack (round 5: D>1 windowing)
+    wt = windowed_lane_tables(adj, num_sources=5000, block=512)
+    assert wt is not None and wt.has_tail and len(wt.arrays) == 11
     # no locality: random adjacency blows the window ratio
     rng = np.random.default_rng(2)
     rand_adj = (rng.integers(0, 4096, size=(4096, 7)) + 1).astype(np.int32)
@@ -89,13 +132,17 @@ def test_window_geometry_covers_all_valid_entries():
             (wt.relT[b] + ws)[wt.validF[b]], sub[va])
 
 
-@pytest.mark.parametrize("fused", [True, False])
-def test_windowed_sharded_step_matches_flat(monkeypatch, fused):
-    """D=1 sharded train step with the windowed gather forced on must match
-    the flat-gather step loss-for-loss over several optimizer steps — for
-    BOTH the fused slab conv (the default) and the unfused windowed fallback
+@pytest.mark.parametrize("fused,devices", [(True, 1), (False, 1), (True, 8),
+                                           (False, 8)])
+def test_windowed_sharded_step_matches_flat(monkeypatch, fused, devices):
+    """Sharded train step with the windowed gather forced on must match the
+    flat-gather step loss-for-loss over several optimizer steps — for BOTH
+    the fused slab conv (the default) and the unfused windowed fallback
     (kept for A/B and as the rotinv-adjacent path; without this case the
-    FGC_WINDOWED_FUSED=0 branch would have no coverage at all)."""
+    FGC_WINDOWED_FUSED=0 branch would have no coverage at all), and at BOTH
+    D=1 (local windows) and D=8 (round-5 halo-tail windows: each shard's
+    owned band windows, halo columns ride the tail pack through the
+    exchange)."""
     import optax  # noqa: F401
     from facet_graph_convolution_tpu.config import default_config
     from facet_graph_convolution_tpu.data.dataset import (
@@ -106,19 +153,23 @@ def test_windowed_sharded_step_matches_flat(monkeypatch, fused):
     from facet_graph_convolution_tpu.training.trainer import create_train_state
     from tests.conftest import make_icosphere
 
+    if devices > len(jax.devices()):
+        pytest.skip("needs the 8-virtual-device rig")
     v, f = make_icosphere(3)
     rng = np.random.default_rng(3)
     noisy = (v + rng.normal(scale=0.02, size=v.shape)).astype(np.float32)
     ds = TrainingSet(max_patch_size=20000, coarsening_steps=2,
                      coarsening_levels=3, k_faces=23, seed=0)
     ds.add_mesh(noisy, f, gt_vertices=v)
-    patch = pad_patch_to(ds.patches[0], bucket_size(ds.patches[0].num_nodes, 16))
+    patch = pad_patch_to(
+        ds.patches[0],
+        bucket_size(ds.patches[0].num_nodes, max(16, 16 * devices)))
 
     cfg = default_config().replace(
         model={"channels": (8, 16, 32), "num_filters": 4, "fc_channels": 32},
     )
-    mesh = make_mesh((1, 1), ("data", "graph"))
-    part = halo.build_partition(patch.adjs, 1)
+    mesh = make_mesh((1, devices), ("data", "graph"))
+    part = halo.build_partition(patch.adjs, devices)
     state, tx = create_train_state(jax.random.PRNGKey(0), cfg)
 
     x = jnp.asarray(patch.inputs)
@@ -137,13 +188,18 @@ def test_windowed_sharded_step_matches_flat(monkeypatch, fused):
 
     flat_losses = run()
 
-    # force windowing on (fine level is 1552 nodes -> 13 slabs incl. the
-    # overlap tail; the 97-node coarsest level stays flat)
+    # force windowing on (fine level is 1552 nodes -> 13 slabs at D=1; at
+    # D=8 each 194-column shard gets 3 overlapping 64-wide slabs; the
+    # 97-node coarsest level stays flat)
     monkeypatch.setattr(halo, "_WINDOWED_FUSED", fused)
     monkeypatch.setattr(halo, "WINDOWED_MIN_NODES", 64)
-    monkeypatch.setattr(halo, "WINDOWED_BLOCK", 128)
+    monkeypatch.setattr(halo, "WINDOWED_BLOCK", 128 if devices == 1 else 64)
     windows = halo.build_level_windows(part)
     assert any(wt is not None for wt in windows), "windowing did not engage"
+    if devices > 1:
+        assert any(wt is not None and wt.has_tail for wt in windows), (
+            "halo-tail windows did not engage at D>1"
+        )
     win_losses = run()
 
     np.testing.assert_allclose(flat_losses, win_losses, rtol=1e-5, atol=1e-6)
