@@ -147,6 +147,13 @@ class EvalConfig:
     #   exact reference behavior.
     solver_adaptive_tol: float = 0.01
     solver_lambda: str = "degree"
+    # - solver_trust caps each vertex's total displacement at
+    #   trust × its initial RMS constraint violation (a noise-amplitude
+    #   estimate): the defense against biased (crease-rounded) predicted
+    #   normals, where the residual never plateaus and the reference's
+    #   fixed schedule makes near-clean inputs WORSE in Hausdorff
+    #   (measured; BASELINE.md round 5). 0 disables.
+    solver_trust: float = 0.75
     # multi-scale solver schedule, coarse→fine is reversed internally
     # (train.py:248 uses [80, 20, 20]).
     ms_solver_iterations: tuple = (80, 20, 20)

@@ -105,6 +105,7 @@ def infer_normals(
               else cfg.eval.solver_lambda),
         checkpoint=False,
         adaptive_tol=cfg.eval.solver_adaptive_tol,
+        trust=cfg.eval.solver_trust,
     )
     return np.asarray(refined), predicted
 

@@ -89,6 +89,7 @@ def infer_normals_sharded(
         lmbd=(1.0 / 18.0 if cfg.eval.solver_lambda == "reference"
               else cfg.eval.solver_lambda),
         adaptive_tol=cfg.eval.solver_adaptive_tol,
+        trust=cfg.eval.solver_trust,
     )
     return refined, normals
 

@@ -17,6 +17,11 @@ cotangent dG [C+M, K', N] (needed because a source column's cotangent
 gathers contributions across slab boundaries), and reuses the windowed
 backward slot tables (relS/validS) for the scatter-free dcat accumulation —
 the same machinery as ops.gather.make_windowed_lane_gather's backward.
+Round-5 profile adjudication (BASELINE.md): the dG machinery is ≤10% of
+the fused million-facet step; ~50% is the slab gather row path itself
+(fwd + the backward's recompute) at an effective ~5-6 ns/row, so
+VMEM-strip dG accumulation was sized and NOT built — the next structural
+lever is Mosaic dynamic-gather support, not dataflow restructuring.
 
 Halo-extended inputs (D > 1 sharded levels, ``geometry`` with
 ``num_sources > num_out``): ``cat_t`` is the halo-extended [C+M, N + H]

@@ -144,15 +144,17 @@ def sharded_update_positions_edges(
     iter_num: int = 60,
     lmbd=1.0 / 18.0,
     adaptive_tol: float = 0.0,
+    trust: float = 0.0,
 ) -> np.ndarray:
     """Multi-chip
     :func:`facet_graph_convolution_tpu.ops.vertex_update.update_positions_edges`:
     identical math, vertex-partitioned with a per-iteration boundary
-    exchange. ``lmbd="degree"`` and ``adaptive_tol`` mirror the
+    exchange. ``lmbd="degree"``, ``adaptive_tol`` and ``trust`` mirror the
     single-device solver's round-5 options (per-vertex 1/(3·deg) step;
     residual-plateau stop — the stop decision uses the ``psum``-global
-    residual, so every shard exits on the same iteration). Returns the
-    refined [V, 3] positions."""
+    residual, so every shard exits on the same iteration; per-vertex
+    displacement trust cap — purely shard-local). Returns the refined
+    [V, 3] positions."""
     n_dev = mesh.shape[axis]
     v = x.shape[0]
 
@@ -221,17 +223,35 @@ def sharded_update_positions_edges(
         send_b = send_block[0]
         recv_b = recv_block[0]
         lmb = lmb_block[0]
+        x0 = x_block
 
-        def step(x_loc):
+        def _proj(x_loc):
             x_ext = _halo_extend(x_loc, send_b, recv_b)
             ext_pad = jnp.concatenate([jnp.zeros_like(x_ext[:1]), x_ext], axis=0)
             xv = jnp.take(ext_pad, idx_b, axis=0)  # [block, maxE, 2, 3]
             e_vec = xv - x_loc[:, None, None, :]
             s = jnp.sum(e_vec, axis=2)             # [block, maxE, 3]
-            proj = dot_last(n_f_b, s[:, :, None, :])
+            return dot_last(n_f_b, s[:, :, None, :])
+
+        if trust > 0.0:
+            p0 = _proj(x_block)
+            cnt = jnp.maximum(
+                2.0 * jnp.sum((idx_b[..., 0] > 0).astype(x_block.dtype),
+                              axis=-1), 1.0)
+            cap = trust * jnp.sqrt(
+                jnp.sum(jnp.square(p0), axis=(1, 2)) / cnt)
+
+        def step(x_loc):
+            proj = _proj(x_loc)
             update = jnp.sum(n_f_b * proj[..., None], axis=(1, 2))
             r = jax.lax.psum(jnp.sum(jnp.square(proj)), axis)
-            return x_loc + lmb * update, r
+            x_new = x_loc + lmb * update
+            if trust > 0.0:
+                d = x_new - x0
+                dn = jnp.linalg.norm(d, axis=1, keepdims=True)
+                x_new = x0 + d * jnp.minimum(
+                    1.0, cap[:, None] / jnp.maximum(dn, 1e-12))
+            return x_new, r
 
         if adaptive_tol > 0.0:
             big = jnp.asarray(1e30, x_block.dtype)

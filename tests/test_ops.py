@@ -278,6 +278,46 @@ def test_update_positions_edges_adaptive_and_degree(cube, rng):
     np.testing.assert_array_equal(solve(noisy), solve(noisy, adaptive_tol=0.0))
 
 
+def test_update_positions_edges_trust_cap(cube, rng):
+    """solver_trust caps per-vertex displacement at trust × the initial RMS
+    constraint violation: a tiny trust pins the output near the input, a
+    huge trust reproduces the uncapped solve, and in between displacement
+    norms never exceed the cap."""
+    v, f = cube
+    gt_normals = compute_face_normals(v, f)
+    e_map, v_e_map = edge_map(f, max_edges=20)
+    noisy = v + rng.normal(scale=0.05, size=v.shape).astype(np.float32)
+
+    def solve(**kw):
+        return np.asarray(update_positions_edges(
+            jnp.asarray(noisy), jnp.asarray(gt_normals), jnp.asarray(e_map),
+            jnp.asarray(v_e_map), iter_num=40, lmbd="degree", **kw))
+
+    base = solve()
+    tiny = solve(trust=1e-6)
+    assert np.abs(tiny - noisy).max() < 1e-4
+    huge = solve(trust=1e6)
+    np.testing.assert_allclose(huge, base, atol=1e-6)
+
+    # mid trust: every displacement obeys the cap
+    tr = 0.75
+    capped = solve(trust=tr)
+    xv = noisy[np.asarray(e_map)[:, :2].astype(np.int64)]
+    # recompute r0 per vertex like the solver does
+    v_edges1 = np.asarray(v_e_map).astype(np.int64) + 1
+    em = np.asarray(e_map).astype(np.int64) + np.array([[0, 0, 1, 1]])
+    em = np.concatenate([np.zeros((1, 4), np.int64), em], axis=0)
+    fn_pad = np.concatenate([np.zeros((1, 3), np.float32), gt_normals], axis=0)
+    ne = em[v_edges1]
+    n_f = fn_pad[ne[..., 2:4]]
+    s = np.sum(noisy[ne[..., 0:2]] - noisy[:, None, None, :], axis=2)
+    proj = np.sum(n_f * s[:, :, None, :], axis=-1)
+    cnt = np.maximum(2.0 * np.sum(np.asarray(v_e_map) >= 0, axis=1), 1.0)
+    cap = tr * np.sqrt(np.sum(proj ** 2, axis=(1, 2)) / cnt)
+    disp = np.linalg.norm(capped - noisy, axis=1)
+    assert np.all(disp <= cap * (1 + 1e-5))
+
+
 def test_update_positions_edges_degree_stable_on_fan(rng):
     """High-valence fan (a 16-triangle umbrella): the reference's global
     λ=1/18 step diverges (residual grows), the degree-scaled step stays
