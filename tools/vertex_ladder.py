@@ -95,6 +95,20 @@ def _patch_no_face_tables():
     trainer._solver_tables = tables
 
 
+def _patch_operator_unroll(n):
+    """Operator body with fori_loop unroll=n: with solver_remat=False (the
+    round-4 default) the scan lowering's pathological remat transposition
+    no longer applies, so cross-iteration elementwise fusion is worth
+    re-measuring on the op-count-bound step."""
+    import functools
+
+    from facet_graph_convolution_tpu.ops import vertex_update as vu
+
+    orig = vu.update_positions_multiscale_operator
+    vu.update_positions_multiscale_operator = functools.partial(
+        orig, unroll=n)
+
+
 def _install(solver):
     """Point every consumer of the multiscale solver at ``solver``."""
     from facet_graph_convolution_tpu.ops import vertex_update as vu
@@ -108,20 +122,22 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="current",
                    choices=("current", "naive", "vector_gather", "unroll4",
-                            "operator", "operator_pyramid"))
+                            "operator", "operator_pyramid",
+                            "operator_unroll4"))
     p.add_argument("--subdiv", type=int, default=4)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args()
 
-    solver = ("operator" if args.mode in ("operator", "operator_pyramid")
-              else "naive")
+    solver = ("operator" if args.mode.startswith("operator") else "naive")
     if args.mode == "vector_gather":
         _patch_vector_gather()
     elif args.mode == "unroll4":
         _patch_unroll(4)
     elif args.mode == "operator_pyramid":
         _patch_no_face_tables()
+    elif args.mode == "operator_unroll4":
+        _patch_operator_unroll(4)
 
     import bench
 
