@@ -197,13 +197,19 @@ class InferenceServer:
                     vals = vals[p.perm_inv]
                 predicted[p.patch_indices] += vals[: p.num_real]
             predicted = normalize_rows(predicted.astype(np.float32))
+            # same solver options as inference.driver.infer_normals — the
+            # served vertices must match the driver's for one config/params
             refined = update_positions_edges(
                 jnp.asarray(mesh.vertices),
                 jnp.asarray(predicted),
                 jnp.asarray(mesh.edge_map),
                 jnp.asarray(mesh.v_e_map),
                 iter_num=self.solver_iterations,
+                lmbd=(1.0 / 18.0 if self.cfg.eval.solver_lambda == "reference"
+                      else self.cfg.eval.solver_lambda),
                 checkpoint=False,
+                adaptive_tol=self.cfg.eval.solver_adaptive_tol,
+                trust=self.cfg.eval.solver_trust,
             )
             results.append((np.asarray(refined), predicted))
         return results

@@ -225,7 +225,6 @@ def make_windowed_lane_gather(geometry):
     """
     block, window, bwd_window, num_sources, num_out = map(int, geometry)
     has_tail = num_sources > num_out
-    tail_n = num_sources - num_out
 
     @jax.custom_vjp
     def gather_win(x_t, *tabs):

@@ -62,8 +62,10 @@ def update_positions_edges(
     for 60 (the round-4 caveat: refined WORSE than noisy in Hausdorff at
     noise 0.1 on CAD shapes), while a noisy input keeps the productive
     part of the schedule. Inference-only (``lax.while_loop`` is not
-    reverse-mode differentiable); the training paths keep the fixed
-    schedule the loss was trained through.
+    reverse-mode differentiable — a grad through this branch fails inside
+    JAX; ``checkpoint`` is ignored here since there is no backward to
+    rematerialize for); the training paths keep the fixed schedule the
+    loss was trained through.
 
     ``lmbd="degree"`` replaces the reference's global 1/18 step with the
     per-vertex ``1/(3·deg_v)`` it implicitly assumes (1/18 IS 1/(3·6),

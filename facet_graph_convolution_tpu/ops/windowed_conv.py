@@ -70,13 +70,17 @@ def make_windowed_fused_conv(geometry):
     has_tail = num_sources > num_out
     n_tabs = 11 if has_tail else 7
 
-    def _slab_forward(cat_t, ux_t, c, mult_rows, xs, dtype, in_ch):
+    def _tail_pad(cat_t):
+        # loop-invariant: built once per scan, NOT per slab (matches the
+        # sibling form in ops.gather.make_windowed_lane_gather)
+        return jnp.concatenate(
+            [jnp.zeros_like(cat_t[:, :1]), cat_t[:, num_out:]], axis=1)
+
+    def _slab_forward(cat_t, tail_pad, ux_t, c, mult_rows, xs, dtype, in_ch):
         cm = cat_t.shape[0]
         m = ux_t.shape[0]
         if has_tail:
             os_, ws, r, nt, tt = xs
-            tail_pad = jnp.concatenate(
-                [jnp.zeros_like(cat_t[:, :1]), cat_t[:, num_out:]], axis=1)
         else:
             os_, ws, r = xs
         win = jax.lax.dynamic_slice(cat_t, (0, ws), (cm, window))
@@ -112,11 +116,12 @@ def make_windowed_fused_conv(geometry):
         # ops.gather.make_windowed_lane_gather)
         y = jnp.zeros((out_ch, num_out), jnp.float32) + (
             cat_t[0, 0] * 0).astype(jnp.float32)
+        tp = _tail_pad(cat_t) if has_tail else None
 
         def blk(y, xs):
             os_ = xs[0]
             _, _, _, _, _, z = _slab_forward(
-                cat_t, ux_t, c, mult_rows, xs, dtype, in_ch)
+                cat_t, tp, ux_t, c, mult_rows, xs, dtype, in_ch)
             z_dt = z.reshape(m * in_ch, block).astype(dtype)
             y_s = jnp.einsum("oz,zn->on", wf.astype(dtype), z_dt,
                              preferred_element_type=jnp.float32)
@@ -155,12 +160,14 @@ def make_windowed_fused_conv(geometry):
         dw_acc = jnp.zeros(wf.shape, jnp.float32) + zero
         dc_acc = jnp.zeros((m,), jnp.float32) + zero
 
+        tp = _tail_pad(cat_t) if has_tail else None
+
         def blk(carry, xs):
             dG, dcat_self, dux, dw_acc, dc_acc = carry
             fwd_xs, fo = xs
             os_ = fwd_xs[0]
             nbr, mr, q_raw, q, x_nbr, z = _slab_forward(
-                cat_t, ux_t, c, mult_rows, fwd_xs, dtype, in_ch)
+                cat_t, tp, ux_t, c, mult_rows, fwd_xs, dtype, in_ch)
             gy_s = jax.lax.dynamic_slice(gy, (0, os_),
                                          (gy.shape[0], block))  # [out, b] f32
             fresh = (jnp.arange(block) >= fo).astype(jnp.float32)[None, :]

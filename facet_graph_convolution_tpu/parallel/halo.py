@@ -442,10 +442,13 @@ def partition_operands_nminor(part: GraphPartition, windows=None):
     (slot 0 = self; graph.convert.fused_mult_rows) per shard.
 
     ``windows`` (from :func:`build_level_windows`) swaps a level onto the
-    windowed gather: its 7 table arrays are appended after ``mult_rows`` and
-    the flat lane tables are replaced by 1-element dummies (the windowed conv
-    never reads them; the flat tables would otherwise pin ~130 MB of unused
-    HBM per million-node level)."""
+    windowed gather: its table arrays (7, or 11 with the D>1 halo-tail
+    pack) are appended after ``mult_rows`` — with the cross (batched-a2a)
+    entries, when the level has them, in between — and the flat lane
+    tables are replaced by per-shard dummies (the windowed conv never
+    reads them; the flat tables would otherwise pin ~130 MB of unused HBM
+    per million-node level). The conv derives the layout from the static
+    window geometry + len(ops)."""
     from facet_graph_convolution_tpu.graph.convert import fused_mult_rows
 
     ops = []
@@ -797,9 +800,12 @@ def _sharded_conv_nminor(params, x_t, ops, offsets, axis,
     45.1M → 50.2M edges/s).
 
     ``win`` (static geometry from WindowedLaneTables, wired per level by
-    :func:`build_level_windows`) switches the gather to the windowed form —
-    ops[5:12] then carry the windowed table pack and the level is purely
-    local (no halo exchange; the builder only emits windows at D == 1)."""
+    :func:`build_level_windows`) switches the gather to the windowed form:
+    the tail of ``ops`` carries the windowed table pack (7 arrays, or 11
+    with the D>1 halo-tail pack, preceded by the cross a2a tables when the
+    level exchanges cross-host style). At D == 1 the level is purely local;
+    at D > 1 the conv halo-extends FIRST and the windowed gather reads the
+    extended array (owned band via slabs, halo columns via the tail pack)."""
     from facet_graph_convolution_tpu.ops.gather import (
         gather_neighbors_lane,
         make_windowed_lane_gather,

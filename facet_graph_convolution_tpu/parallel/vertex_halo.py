@@ -153,8 +153,12 @@ def sharded_update_positions_edges(
     single-device solver's round-5 options (per-vertex 1/(3·deg) step;
     residual-plateau stop — the stop decision uses the ``psum``-global
     residual, so every shard exits on the same iteration; per-vertex
-    displacement trust cap — purely shard-local). Returns the refined
-    [V, 3] positions."""
+    displacement trust cap — purely shard-local). The psum's reduction
+    order differs from the single-device sum, so when an iteration's
+    relative improvement lands within fp rounding of ``adaptive_tol`` the
+    two paths may stop one iteration apart — parity tests use generic
+    meshes where the margin is far from the threshold. Returns the
+    refined [V, 3] positions."""
     n_dev = mesh.shape[axis]
     v = x.shape[0]
 

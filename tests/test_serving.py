@@ -51,6 +51,24 @@ def test_server_batch_matches_single():
     # the executable cache is keyed by (batch, shapes): 2 entries expected
     assert len(server._compiled) == 2
 
+    # served vertices must match the inference DRIVER for the same
+    # config/params — the solver options (lambda mode, adaptive stop,
+    # trust cap) ride the same config (round-5 regression: serving kept
+    # the old fixed-schedule solver)
+    from facet_graph_convolution_tpu.data.dataset import InferenceMesh
+    from facet_graph_convolution_tpu.inference.driver import infer_normals
+
+    mesh = InferenceMesh(
+        max_patch_size=cfg.data.max_patch_size,
+        coarsening_steps=cfg.model.coarsening_steps,
+        coarsening_levels=cfg.model.coarsening_levels,
+        k_faces=cfg.data.k_faces, seed=0,
+    )
+    mesh.add_mesh(*meshes[0])
+    drv_refined, drv_normals = infer_normals(mesh, cfg, params=state.params)
+    np.testing.assert_allclose(batch_out[0][1], drv_normals, atol=1e-4)
+    np.testing.assert_allclose(batch_out[0][0], drv_refined, atol=1e-4)
+
 
 def test_server_compiled_cache_lru_bounded():
     """A long-lived server over many distinct bucket shapes must hold at most
