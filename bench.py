@@ -213,6 +213,7 @@ def measure_sharded(steps=20, repeats=3, subdiv=5, num_shards=None):
         "edges_per_step": edges,
         "nodes": patch.num_nodes,
         "median_step_s": median,
+        "spread_pct": 100.0 * (times[-1] - times[0]) / median,
         "edges_per_s": edges / median,
         "devices": n_dev,
         "platform": jax.default_backend(),
@@ -293,6 +294,7 @@ def measure_dp(steps=20, repeats=3, subdiv=5, selection="chunk"):
     return {
         "edges_per_step": edges,
         "median_step_s": median,
+        "spread_pct": 100.0 * (times[-1] - times[0]) / median,
         "edges_per_s": edges / median,
         "edges_per_s_per_chip": edges / median / n_dev,
         "devices": n_dev,
@@ -383,6 +385,7 @@ def measure_vertex(steps=10, repeats=3, subdiv=4, bf16=True):
     return {
         "median_step_s": median,
         "best_step_s": times[0],
+        "spread_pct": 100.0 * (times[-1] - times[0]) / median,
         "nodes": info["nodes"],
         "vertices": info["vertices"],
         "platform": jax.default_backend(),
@@ -456,6 +459,7 @@ def main():
             "vs_baseline": round(vs, 3),
             "nodes": result["nodes"],
             "vertices": result["vertices"],
+            "spread_pct": round(result["spread_pct"], 2),
         }))
         return
 
@@ -474,6 +478,7 @@ def main():
             "unit": "edges/s",
             "vs_baseline": round(vs, 3),
             "devices": result["devices"],
+            "spread_pct": round(result["spread_pct"], 2),
         }))
         return
 
@@ -491,6 +496,7 @@ def main():
             "unit": "edges/s",
             "vs_baseline": round(vs, 3),
             "devices": result["devices"],
+            "spread_pct": round(result["spread_pct"], 2),
         }))
         return
 
