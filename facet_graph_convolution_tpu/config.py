@@ -254,6 +254,14 @@ def add_cli_overrides(parser: argparse.ArgumentParser) -> argparse.ArgumentParse
     # train.py:1951, never branched on — mainFunction ignores it).
     parser.add_argument("--device", type=str, default=None)
     parser.add_argument("--running_mode", type=int, default=0)
+    # round-5 inference-solver knobs (EvalConfig); --solver_lambda
+    # "reference" + --solver_adaptive_tol 0 + --solver_trust 0 restore the
+    # reference's exact fixed 60-iteration λ=1/18 behavior
+    parser.add_argument("--solver_iterations", type=int, default=None)
+    parser.add_argument("--solver_lambda", type=str, default=None,
+                        choices=("degree", "reference"))
+    parser.add_argument("--solver_adaptive_tol", type=float, default=None)
+    parser.add_argument("--solver_trust", type=float, default=None)
     return parser
 
 
@@ -281,6 +289,14 @@ def config_from_args(args: argparse.Namespace) -> Config:
         model_updates["coarsening_steps"] = args.coarsening_steps
     if getattr(args, "include_vertices", None):
         model_updates["include_vertices"] = True
+    if getattr(args, "solver_iterations", None) is not None:
+        eval_updates["solver_iterations"] = args.solver_iterations
+    if getattr(args, "solver_lambda", None):
+        eval_updates["solver_lambda"] = args.solver_lambda
+    if getattr(args, "solver_adaptive_tol", None) is not None:
+        eval_updates["solver_adaptive_tol"] = args.solver_adaptive_tol
+    if getattr(args, "solver_trust", None) is not None:
+        eval_updates["solver_trust"] = args.solver_trust
     sections = {}
     if train_updates:
         sections["train"] = train_updates
